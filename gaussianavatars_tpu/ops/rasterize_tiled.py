@@ -1,0 +1,376 @@
+"""Tile-binned differentiable Gaussian rasterizer (TPU-native design).
+
+This is the production replacement for the CUDA ``diff-gaussian-rasterization``
+submodule the reference depends on (`gaussian_renderer/__init__.py:15,86-94`),
+re-designed for XLA/TPU rather than translated:
+
+  * **Static shapes everywhere.** The CUDA kernel builds a dynamic duplicated
+    key list and radix-sorts it. Here every Gaussian owns a fixed budget of
+    ``max_tiles_per_gaussian`` (tile, depth-rank) pairs — unused slots carry a
+    sentinel key — and one `jax.lax.sort` over the whole pair list yields
+    per-tile front-to-back runs. No atomics, fully deterministic.
+  * **Fixed-capacity tile lists.** Each tile holds up to ``capacity`` sorted
+    Gaussian indices in a dense [num_tiles, capacity] table (built with a
+    single scatter; overflow is counted and reported so callers can re-trace
+    with a larger capacity).
+  * **Compositing as a scan with a custom VJP.** Forward walks the capacity
+    axis front-to-back carrying (transmittance, accumulated colour) for a
+    whole [num_tiles, tile_pixels] block — VPU-shaped. The backward replays
+    back-to-front from the saved final transmittance (the classic 3DGS
+    backward, but with the stop index saved instead of re-deriving it), so
+    nothing O(capacity × pixels) is ever stored.
+
+Semantics (alpha cutoffs, 0.99 clamp, 1e-4 early stop, background blend)
+match `ops/rasterize_dense.py`, which is the tested ground truth.
+
+The same structure maps 1:1 onto the Pallas kernel in
+`ops/pallas/composite.py` (per-tile grid, capacity loop in VMEM); this file is
+also the CPU/interpret fallback.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .projection import Projected, project_from_params
+from .rasterize_dense import ALPHA_CUTOFF, ALPHA_MAX, T_EPS, RenderOutput
+from .sh import eval_sh_color
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    """Static rasterization geometry/budgets (part of the jit cache key)."""
+
+    tile_h: int = 32
+    tile_w: int = 32
+    capacity: int = 1024          # max Gaussians composited per tile
+    max_tiles_per_gaussian: int = 32  # per-Gaussian tile-budget for binning
+
+    def grid(self, height: int, width: int) -> tuple[int, int]:
+        return (-(-height // self.tile_h), -(-width // self.tile_w))
+
+
+class Binned(NamedTuple):
+    idx: jnp.ndarray       # [NT, C] int32 Gaussian index per slot (-1 = empty)
+    tile_origin: jnp.ndarray  # [NT, 2] float32 (x0, y0) pixel origin per tile
+    counts: jnp.ndarray    # [NT] int32 Gaussians binned per tile (pre-cap)
+    overflow: jnp.ndarray  # [] int32 total Gaussians dropped by the capacity cap
+
+
+def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig) -> Binned:
+    """Assign Gaussians to image tiles, front-to-back within each tile.
+
+    All integer bookkeeping; wrapped in stop_gradient by callers.
+    """
+    nty, ntx = cfg.grid(height, width)
+    nt = nty * ntx
+    n = proj.mean2d.shape[0]
+    budget = cfg.max_tiles_per_gaussian
+
+    mx = proj.mean2d[:, 0]
+    my = proj.mean2d[:, 1]
+    r = proj.radius.astype(jnp.float32)
+
+    # Tile-space bbox (min inclusive, max exclusive), clipped to the grid.
+    tminx = jnp.clip(jnp.floor((mx - r) / cfg.tile_w).astype(jnp.int32), 0, ntx)
+    tmaxx = jnp.clip(jnp.floor((mx + r) / cfg.tile_w).astype(jnp.int32) + 1, 0, ntx)
+    tminy = jnp.clip(jnp.floor((my - r) / cfg.tile_h).astype(jnp.int32), 0, nty)
+    tmaxy = jnp.clip(jnp.floor((my + r) / cfg.tile_h).astype(jnp.int32) + 1, 0, nty)
+    bw = tmaxx - tminx
+    bh = tmaxy - tminy
+    ntiles_per_g = bw * bh
+
+    # Depth ranks: position of each Gaussian in global front-to-back order.
+    depth_key = jnp.where(proj.mask, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    # Expand: slot j of Gaussian i covers tile (tminy + j // bw, tminx + j % bw).
+    j = jnp.arange(budget, dtype=jnp.int32)[None, :]            # [1, B]
+    bw_safe = jnp.maximum(bw, 1)[:, None]
+    dy = j // bw_safe
+    dx = j - dy * bw_safe
+    tile = (tminy[:, None] + dy) * ntx + (tminx[:, None] + dx)  # [N, B]
+    valid = (j < ntiles_per_g[:, None]) & proj.mask[:, None]
+    tile_key = jnp.where(valid, tile, nt).astype(jnp.int32)
+
+    flat_tile = tile_key.reshape(-1)
+    flat_rank = jnp.broadcast_to(rank[:, None], tile_key.shape).reshape(-1)
+    flat_gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], tile_key.shape
+    ).reshape(-1)
+
+    # One lexicographic sort replaces the CUDA radix sort: (tile, depth-rank).
+    s_tile, _s_rank, s_gidx = jax.lax.sort(
+        (flat_tile, flat_rank, flat_gidx), num_keys=2
+    )
+
+    # Per-tile segment starts and in-segment positions.
+    starts = jnp.searchsorted(s_tile, jnp.arange(nt, dtype=jnp.int32), side="left")
+    ends = jnp.searchsorted(s_tile, jnp.arange(nt, dtype=jnp.int32), side="right")
+    counts = (ends - starts).astype(jnp.int32)
+    m = s_tile.shape[0]
+    seg_start = starts[jnp.clip(s_tile, 0, nt - 1)]
+    pos = jnp.arange(m, dtype=jnp.int32) - seg_start
+    ok = (s_tile < nt) & (pos < cfg.capacity)
+    dest = jnp.where(ok, s_tile * cfg.capacity + pos, nt * cfg.capacity)
+
+    idx = jnp.full((nt * cfg.capacity,), -1, jnp.int32)
+    idx = idx.at[dest].set(s_gidx, mode="drop").reshape(nt, cfg.capacity)
+
+    ty = jnp.arange(nt, dtype=jnp.int32) // ntx
+    tx = jnp.arange(nt, dtype=jnp.int32) % ntx
+    tile_origin = jnp.stack(
+        [tx.astype(jnp.float32) * cfg.tile_w, ty.astype(jnp.float32) * cfg.tile_h], -1
+    )
+    overflow = jnp.sum(jnp.maximum(counts - cfg.capacity, 0))
+    return Binned(idx=idx, tile_origin=tile_origin, counts=counts, overflow=overflow)
+
+
+# ---------------------------------------------------------------------------
+# Compositing core with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _tile_pixel_grid(cfg: TileConfig):
+    py, px = jnp.meshgrid(
+        jnp.arange(cfg.tile_h, dtype=jnp.float32),
+        jnp.arange(cfg.tile_w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return px.reshape(-1), py.reshape(-1)  # [P]
+
+
+def _slot_alpha(mean2d, conic, opac, px, py):
+    """Alpha of one capacity-slot against a tile's pixels.
+
+    mean2d [NT,2], conic [NT,3], opac [NT]; px, py [NT, P].
+    """
+    dx = px - mean2d[:, 0:1]
+    dy = py - mean2d[:, 1:2]
+    a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, opac[:, None] * jnp.exp(power))
+    use = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
+    return alpha, use, power, dx, dy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def composite_tiles(tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg: TileConfig):
+    """Front-to-back composite each tile's capacity list.
+
+    Args:
+      tile_origin: [NT, 2] pixel origin of each tile (non-diff).
+      g_mean2d: [NT, C, 2]; g_conic: [NT, C, 3]; g_color: [NT, C, 3];
+      g_opac: [NT, C] (0 for empty slots).
+    Returns:
+      (acc [NT, P, 3] premultiplied colour, t_final [NT, P]) with
+      P = tile_h * tile_w.
+    """
+    acc, t_final, _stop = _composite_fwd_scan(
+        tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg
+    )
+    return acc, t_final
+
+
+def _composite_fwd_scan(tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg):
+    nt, c = g_opac.shape
+    p = cfg.tile_h * cfg.tile_w
+    px0, py0 = _tile_pixel_grid(cfg)
+    px = tile_origin[:, 0:1] + px0[None, :]  # [NT, P]
+    py = tile_origin[:, 1:2] + py0[None, :]
+
+    def step(carry, slot):
+        t, stop_idx, acc, i = carry
+        mean2d, conic, color, opac = slot
+        alpha, use, _pw, _dx, _dy = _slot_alpha(mean2d, conic, opac, px, py)
+        running = i < stop_idx  # not yet terminated
+        test_t = t * (1.0 - alpha)
+        trigger = use & running & (test_t < T_EPS)
+        stop_idx = jnp.where(trigger, i, stop_idx)
+        contrib = use & running & ~trigger
+        w = jnp.where(contrib, alpha * t, 0.0)
+        acc = acc + w[..., None] * color[:, None, :]
+        t = jnp.where(contrib, test_t, t)
+        return (t, stop_idx, acc, i + 1), None
+
+    init = (
+        jnp.ones((nt, p), jnp.float32),
+        jnp.full((nt, p), c, jnp.int32),
+        jnp.zeros((nt, p, 3), jnp.float32),
+        jnp.int32(0),
+    )
+    slots = (
+        jnp.moveaxis(g_mean2d, 1, 0),
+        jnp.moveaxis(g_conic, 1, 0),
+        jnp.moveaxis(g_color, 1, 0),
+        jnp.moveaxis(g_opac, 1, 0),
+    )
+    (t, stop_idx, acc, _), _ = jax.lax.scan(step, init, slots)
+    return acc, t, stop_idx
+
+
+def _composite_vjp_fwd(tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg):
+    acc, t_final, stop_idx = _composite_fwd_scan(
+        tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg
+    )
+    res = (tile_origin, g_mean2d, g_conic, g_color, g_opac, t_final, stop_idx)
+    return (acc, t_final), res
+
+
+def _composite_vjp_bwd(cfg, res, cotangents):
+    tile_origin, g_mean2d, g_conic, g_color, g_opac, t_final, stop_idx = res
+    g_acc, g_t = cotangents
+    nt, c = g_opac.shape
+    px0, py0 = _tile_pixel_grid(cfg)
+    px = tile_origin[:, 0:1] + px0[None, :]
+    py = tile_origin[:, 1:2] + py0[None, :]
+
+    def step(carry, slot_with_i):
+        t_after, suffix, i = carry  # t_after = T_{i+1}; suffix = Σ_{j>i} c_j α_j T_j
+        mean2d, conic, color, opac = slot_with_i
+        alpha, use, power, dx, dy = _slot_alpha(mean2d, conic, opac, px, py)
+        contrib = use & (i < stop_idx)
+        one_minus = 1.0 - alpha
+        t_i = jnp.where(contrib, t_after / one_minus, t_after)
+
+        w = jnp.where(contrib, alpha * t_i, 0.0)  # [NT, P]
+        # dL/dcolor — reduce over pixels.
+        d_color = jnp.einsum("np,npc->nc", w, g_acc)
+        # dL/dalpha from acc and from t_final.
+        d_alpha = jnp.sum(
+            g_acc * (color[:, None, :] * t_i[..., None] - suffix / one_minus[..., None]),
+            axis=-1,
+        )
+        d_alpha = d_alpha + g_t * (-t_final / one_minus)
+        d_alpha = jnp.where(contrib, d_alpha, 0.0)
+        # Through alpha = min(0.99, o·e^p): clamp kills the gradient.
+        unclamped = alpha < ALPHA_MAX
+        d_o_pix = jnp.where(unclamped, d_alpha * jnp.exp(power), 0.0)
+        d_p = jnp.where(unclamped, d_alpha * alpha, 0.0)
+        d_opac = jnp.sum(d_o_pix, axis=-1)
+        # p = -½(a dx² + c dy²) - b dx dy
+        d_conic = jnp.stack(
+            [
+                jnp.sum(d_p * (-0.5 * dx * dx), -1),
+                jnp.sum(d_p * (-dx * dy), -1),
+                jnp.sum(d_p * (-0.5 * dy * dy), -1),
+            ],
+            axis=-1,
+        )
+        ca, cb, cc = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
+        d_mean2d = jnp.stack(
+            [
+                jnp.sum(d_p * (ca * dx + cb * dy), -1),
+                jnp.sum(d_p * (cc * dy + cb * dx), -1),
+            ],
+            axis=-1,
+        )
+        # Update suffix and transmittance for the next (earlier) slot.
+        suffix = suffix + jnp.where(contrib, w, 0.0)[..., None] * color[:, None, :]
+        return (t_i, suffix, i - 1), (d_mean2d, d_conic, d_color, d_opac)
+
+    slots = (
+        jnp.moveaxis(g_mean2d, 1, 0)[::-1],
+        jnp.moveaxis(g_conic, 1, 0)[::-1],
+        jnp.moveaxis(g_color, 1, 0)[::-1],
+        jnp.moveaxis(g_opac, 1, 0)[::-1],
+    )
+    p = cfg.tile_h * cfg.tile_w
+    init = (t_final, jnp.zeros((nt, p, 3), jnp.float32), jnp.int32(c - 1))
+    _, (d_mean2d, d_conic, d_color, d_opac) = jax.lax.scan(step, init, slots)
+    # Scan ran back-to-front: un-reverse and put capacity back on axis 1.
+    d_mean2d = jnp.moveaxis(d_mean2d[::-1], 0, 1)
+    d_conic = jnp.moveaxis(d_conic[::-1], 0, 1)
+    d_color = jnp.moveaxis(d_color[::-1], 0, 1)
+    d_opac = jnp.moveaxis(d_opac[::-1], 0, 1)
+    return (jnp.zeros_like(tile_origin), d_mean2d, d_conic, d_color, d_opac)
+
+
+composite_tiles.defvjp(_composite_vjp_fwd, _composite_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def rasterize_binned(
+    proj_mean2d: jnp.ndarray,
+    proj_conic: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacity: jnp.ndarray,
+    binned: Binned,
+    height: int,
+    width: int,
+    bg_color: jnp.ndarray,
+    cfg: TileConfig,
+    compositor=composite_tiles,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather per-tile slot data and composite. Differentiable w.r.t. the
+    screen-space inputs (gather grads flow back per-Gaussian automatically).
+
+    Returns (color [H, W, 3], alpha [H, W]).
+    """
+    idx = jax.lax.stop_gradient(binned.idx)
+    safe_idx = jnp.maximum(idx, 0)
+    slot_valid = (idx >= 0).astype(jnp.float32)
+
+    g_mean2d = proj_mean2d[safe_idx]
+    g_conic = proj_conic[safe_idx]
+    g_color = colors[safe_idx]
+    g_opac = opacity[safe_idx] * slot_valid
+
+    acc, t_final = compositor(
+        jax.lax.stop_gradient(binned.tile_origin), g_mean2d, g_conic, g_color, g_opac, cfg
+    )
+    out = acc + t_final[..., None] * bg_color[None, None, :]
+
+    nty, ntx = cfg.grid(height, width)
+    th, tw = cfg.tile_h, cfg.tile_w
+    img = out.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(nty * th, ntx * tw, 3)[:height, :width]
+    alpha = (1.0 - t_final).reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
+    alpha = alpha.reshape(nty * th, ntx * tw)[:height, :width]
+    return img, alpha
+
+
+def render_tiled(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera,
+    bg_color: jnp.ndarray,
+    sh: Optional[jnp.ndarray] = None,
+    sh_degree: int = 0,
+    colors: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    alive: Optional[jnp.ndarray] = None,
+    cfg: TileConfig = TileConfig(),
+    compositor=composite_tiles,
+) -> RenderOutput:
+    """Drop-in tiled equivalent of `render_dense` (same semantics)."""
+    proj = project_from_params(means3d, scales, quats, camera, scale_modifier, alive=alive)
+    if colors is None:
+        if sh is None:
+            raise ValueError("provide sh or colors")
+        dirs = means3d - camera.camera_center
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+        colors = eval_sh_color(jnp.swapaxes(sh, -1, -2), dirs, sh_degree)
+
+    binned = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj), camera.height, camera.width, cfg
+    )
+    opac_eff = jnp.where(proj.mask, opacity, 0.0)
+    img, alpha = rasterize_binned(
+        proj.mean2d, proj.conic, colors, opac_eff, binned,
+        camera.height, camera.width, bg_color, cfg, compositor=compositor,
+    )
+    return RenderOutput(
+        color=img, alpha=alpha, radii=proj.radius, visibility=proj.radius > 0
+    )

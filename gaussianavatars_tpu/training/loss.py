@@ -1,0 +1,75 @@
+"""Image losses: L1, windowed SSIM, PSNR (pure JAX).
+
+Equivalents of `utils/loss_utils.py` and `utils/image_utils.py`. SSIM uses the
+same 11×11 Gaussian window (σ=1.5) as the reference; the separable depthwise
+convolution is expressed with `lax.conv_general_dilated` which XLA lowers to
+MXU-friendly convs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SSIM_WINDOW = 11
+SSIM_SIGMA = 1.5
+_C1 = 0.01**2
+_C2 = 0.03**2
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def weighted_l1_loss(pred, target, weight) -> jnp.ndarray:
+    """Σ w·|pred − gt| / Σ w (innovation 1, `region_adaptive_loss.py:107-110`)."""
+    diff = jnp.abs(pred - target)
+    return jnp.sum(weight * diff) / jnp.maximum(jnp.sum(weight) * diff.shape[-1], 1e-8)
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(size: int, sigma: float):
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _depthwise_blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of [C, H, W] with SAME padding."""
+    g = _gaussian_window(window, sigma)
+    c = img.shape[0]
+    x = img[None]  # NCHW
+    kh = jnp.tile(g.reshape(1, 1, window, 1), (c, 1, 1, 1))
+    kw = jnp.tile(g.reshape(1, 1, 1, window), (c, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    pad = window // 2
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=c
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=c
+    )
+    return x[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window: int = SSIM_WINDOW,
+         sigma: float = SSIM_SIGMA) -> jnp.ndarray:
+    """Mean SSIM of two [C, H, W] images in [0,1] (`utils/loss_utils.py:33-63`)."""
+    mu1 = _depthwise_blur(img1, window, sigma)
+    mu2 = _depthwise_blur(img2, window, sigma)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _depthwise_blur(img1 * img1, window, sigma) - mu1_sq
+    s2 = _depthwise_blur(img2 * img2, window, sigma) - mu2_sq
+    s12 = _depthwise_blur(img1 * img2, window, sigma) - mu12
+    m = ((2 * mu12 + _C1) * (2 * s12 + _C2)) / ((mu1_sq + mu2_sq + _C1) * (s1 + s2 + _C2))
+    return jnp.mean(m)
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((pred - target) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
