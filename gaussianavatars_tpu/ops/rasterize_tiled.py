@@ -198,10 +198,14 @@ def _composite_fwd_scan(tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg):
         t = jnp.where(contrib, test_t, t)
         return (t, stop_idx, acc, i + 1), None
 
+    # Carries derived from the *varying* inputs (not fresh constants) so their
+    # varying-manual-axes type matches under shard_map. (px alone comes from
+    # tile_origin, which can be mesh-invariant — mix in g_opac.)
+    zeros_p = jnp.zeros_like(px) + g_opac[:, :1] * 0.0
     init = (
-        jnp.ones((nt, p), jnp.float32),
-        jnp.full((nt, p), c, jnp.int32),
-        jnp.zeros((nt, p, 3), jnp.float32),
+        1.0 + zeros_p,                                   # transmittance
+        c + zeros_p.astype(jnp.int32),                   # stop index
+        zeros_p[..., None] * jnp.zeros((3,)),            # accumulated colour
         jnp.int32(0),
     )
     slots = (
@@ -280,8 +284,8 @@ def _composite_vjp_bwd(cfg, res, cotangents):
         jnp.moveaxis(g_color, 1, 0)[::-1],
         jnp.moveaxis(g_opac, 1, 0)[::-1],
     )
-    p = cfg.tile_h * cfg.tile_w
-    init = (t_final, jnp.zeros((nt, p, 3), jnp.float32), jnp.int32(c - 1))
+    init = (t_final, jnp.zeros_like(t_final)[..., None] * jnp.zeros((3,)),
+            jnp.int32(c - 1))
     _, (d_mean2d, d_conic, d_color, d_opac) = jax.lax.scan(step, init, slots)
     # Scan ran back-to-front: un-reverse and put capacity back on axis 1.
     d_mean2d = jnp.moveaxis(d_mean2d[::-1], 0, 1)

@@ -1,0 +1,288 @@
+"""Sharded training step over a ('data', 'tile') device mesh.
+
+Design (SURVEY.md §2.5/§5 — the CP/ring-attention analogue for splatting):
+
+  * Gaussian/FLAME parameters are **replicated**; the heavy axis is pixels.
+  * Each device owns a contiguous band of image tile-rows. After (replicated)
+    projection, it shifts screen coordinates into its band's frame, bins
+    against its local tile grid, and composites only its rows — the
+    O(N·pixels) compositing work is split `tile`-ways with zero
+    communication.
+  * The full image is `all_gather`ed over `tile` (an image is ~1-4 MB —
+    negligible next to compositing) so global losses (SSIM windows cross band
+    boundaries) are computed replicated; autodiff of the gather hands each
+    device exactly its rows' pixel gradients back.
+  * The `data` axis runs one camera per data-group; gradients and
+    densification statistics are reduced over the mesh so the update is
+    identical on every device (replicated-state invariant, asserted by
+    tests/test_sharded.py against the single-chip step).
+
+Collective bookkeeping (the part worth reading twice):
+  * pixel/image gradients differ per tile-device → `psum` over 'tile';
+  * regulariser gradients are computed from replicated state → identical on
+    every tile-device → reduced over 'data' only (a tile-psum would
+    overcount ×n_tile);
+  * the image loss applies `pmean` over 'data' inside the loss, so its VJP
+    already carries the 1/n_data factor and a plain `psum` over 'data'
+    completes the batch average.
+
+One camera per data-group per step keeps recipe parity with the reference
+(batch = 1 camera, `train.py:116-124`); data>1 is a batched generalisation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config
+from ..data.cameras import Camera
+from ..models.binding import face_frames
+from ..models.flame.flame_model import FlameModel, FlameParams
+from ..models.gaussians import world_gaussians
+from ..ops.projection import project_from_params
+from ..ops.rasterize_tiled import TileConfig, bin_gaussians, rasterize_binned
+from ..ops.sh import eval_sh_color
+from ..training.loss import l1_loss, psnr, ssim
+from ..training.optim import adam_update
+from ..training.trainer import (
+    TrainState,
+    flame_lr_tree,
+    gaussian_lr_tree,
+)
+
+
+class CameraBatch(NamedTuple):
+    """Per-view tensors for B cameras (static intrinsics shared)."""
+
+    world_view: jnp.ndarray     # [B, 4, 4]
+    proj: jnp.ndarray           # [B, 4, 4]
+    full_proj: jnp.ndarray      # [B, 4, 4]
+    camera_center: jnp.ndarray  # [B, 3]
+    timestep: jnp.ndarray       # [B] int32
+
+
+def camera_batch(cams: list[Camera]) -> CameraBatch:
+    stack = lambda f: jnp.stack([getattr(c, f) for c in cams])
+    return CameraBatch(
+        world_view=stack("world_view"),
+        proj=stack("proj"),
+        full_proj=stack("full_proj"),
+        camera_center=stack("camera_center"),
+        timestep=jnp.asarray([c.timestep for c in cams], jnp.int32),
+    )
+
+
+def padded_height(height: int, tile_h: int, n_tile_shards: int) -> int:
+    unit = tile_h * n_tile_shards
+    return -(-height // unit) * unit
+
+
+def pad_gt_for_mesh(gt: jnp.ndarray, height_pad: int) -> jnp.ndarray:
+    """Pad [B, H, W, 3] ground truth rows to the mesh-divisible height."""
+    b, h, w, c = gt.shape
+    if h == height_pad:
+        return gt
+    return jnp.pad(gt, ((0, 0), (0, height_pad - h), (0, 0), (0, 0)))
+
+
+def make_sharded_train_step(
+    model: Optional[FlameModel],
+    cfg: Config,
+    tile_cfg: TileConfig,
+    mesh: Mesh,
+    template_camera: Camera,
+    spatial_lr_scale: float = 1.0,
+):
+    """Build the jitted sharded train step.
+
+    Call: step(state, cams: CameraBatch, gt [B, H_pad, W, 3], bg [3],
+    sh_degree=...). State is replicated; cams/gt sharded over ('data',) and
+    ('data','tile') respectively. Returns (state, metrics).
+    """
+    o = cfg.opt
+    use_flame = model is not None
+    faces = model.faces if use_flame else None
+    H, W = template_camera.height, template_camera.width
+    n_tile = mesh.shape["tile"]
+    n_data = mesh.shape["data"]
+    H_pad = padded_height(H, tile_cfg.tile_h, n_tile)
+    rows = H_pad // n_tile
+
+    def device_fn(sh_degree: int, state: TrainState, cb: CameraBatch,
+                  gt: jnp.ndarray, bg: jnp.ndarray):
+        tile_idx = jax.lax.axis_index("tile")
+        y0 = (tile_idx * rows).astype(jnp.float32)
+        cam = dataclasses.replace(
+            template_camera,
+            world_view=cb.world_view[0], proj=cb.proj[0],
+            full_proj=cb.full_proj[0], camera_center=cb.camera_center[0],
+        )
+        timestep = cb.timestep[0]
+        gt_local = gt[0]  # [rows, W, 3]
+        gt_full = jax.lax.all_gather(gt_local, "tile", axis=0).reshape(H_pad, W, 3)[:H]
+
+        def geometry(params, flame):
+            if use_flame:
+                fp = FlameParams(
+                    shape=state.flame_static.shape,
+                    expr=flame.expr[timestep][None],
+                    rotation=flame.rotation[timestep][None],
+                    neck=flame.neck[timestep][None],
+                    jaw=flame.jaw[timestep][None],
+                    eyes=flame.eyes[timestep][None],
+                    translation=flame.translation[timestep][None],
+                    static_offset=state.flame_static.static_offset,
+                )
+                verts = model.forward(fp)
+                frames = face_frames(verts[0], faces)
+            else:
+                frames = None
+            wg = world_gaussians(params, state.aux, frames)
+            proj = project_from_params(wg.means, wg.scales, wg.quats, cam, alive=wg.alive)
+            dirs = wg.means - cam.camera_center
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+            colors = eval_sh_color(jnp.swapaxes(wg.sh, -1, -2), dirs, sh_degree)
+            opac = jnp.where(proj.mask, wg.opacity, 0.0)
+            # Shift into this shard's row band (a sub-viewport).
+            mean2d_local = proj.mean2d - jnp.concatenate(
+                [jnp.zeros((1,)), y0[None]]
+            )[None, :]
+            return (mean2d_local, proj.conic, colors, opac), proj
+
+        screen, vjp_geo, proj = jax.vjp(geometry, state.params, state.flame, has_aux=True)
+        proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
+        binned = bin_gaussians(
+            proj_sg._replace(mean2d=jax.lax.stop_gradient(screen[0])),
+            rows, W, tile_cfg,
+        )
+
+        def image_loss(screen):
+            mean2d, conic, colors, opac = screen
+            img_local, _ = rasterize_binned(
+                mean2d, conic, colors, opac, binned, rows, W, bg, tile_cfg
+            )
+            img = jax.lax.all_gather(img_local, "tile", axis=0).reshape(H_pad, W, 3)[:H]
+            l1 = l1_loss(img, gt_full) * (1.0 - o.lambda_dssim)
+            s = (1.0 - ssim(jnp.transpose(img, (2, 0, 1)),
+                            jnp.transpose(gt_full, (2, 0, 1)))) * o.lambda_dssim
+            # pmean over 'tile' is a numerical no-op (every tile-device holds
+            # the same gathered-image loss) but marks the loss mesh-invariant
+            # for the vma type system; its transpose distributes cotangents
+            # that the all_gather transpose re-sums exactly.
+            loss = jax.lax.pmean(jax.lax.pmean(l1 + s, "data"), "tile")
+            return loss, (img, l1, s)
+
+        loss, vjp_img, (img, l1, s) = jax.vjp(image_loss, screen, has_aux=True)
+        (g_screen,) = vjp_img(jnp.ones(()))
+
+        # --- densification statistics (global, replicated result) ----------
+        # Per-camera pixel-space mean2d grad: undo the data-pmean factor.
+        g_cam = jax.lax.psum(g_screen[0], "tile") * n_data
+        vis = proj_sg.radius > 0
+        gn = jnp.linalg.norm(
+            g_cam * jnp.array([[W * 0.5, H * 0.5]], g_cam.dtype), axis=-1
+        )
+        d_accum = jax.lax.psum(jnp.where(vis, gn, 0.0), "data")
+        d_denom = jax.lax.psum(vis.astype(jnp.float32), "data")
+        d_radii = jax.lax.pmax(
+            jnp.where(vis, proj_sg.radius.astype(jnp.float32), 0.0), "data"
+        )
+        aux_new = dataclasses.replace(
+            state.aux,
+            grad_accum=state.aux.grad_accum + d_accum,
+            denom=state.aux.denom + d_denom,
+            max_radii2d=jnp.maximum(state.aux.max_radii2d, d_radii),
+        )
+
+        # --- gradients -----------------------------------------------------
+        g_params, g_flame = vjp_geo(g_screen)
+        # Image-path grads differ per device: reduce over the whole mesh.
+        g_params = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(jax.lax.psum(g, "tile"), "data"), g_params
+        )
+        if use_flame:
+            g_flame = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(jax.lax.psum(g, "tile"), "data"), g_flame
+            )
+
+        # Regularisers: replicated inputs → identical across 'tile'; average
+        # over 'data' only (visibility differs per camera).
+        def reg_loss(params):
+            nvis = jnp.maximum(jnp.sum(vis), 1)
+            total = jnp.zeros(())
+            if use_flame:
+                xyz_excess = jax.nn.relu(
+                    jnp.linalg.norm(params.means, axis=1) - o.threshold_xyz
+                )
+                total += jnp.sum(jnp.where(vis, xyz_excess, 0.0)) / nvis * o.lambda_xyz
+                if o.lambda_scale != 0:
+                    sc = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
+                    total += jnp.sum(
+                        jnp.where(vis, jnp.linalg.norm(sc, axis=1), 0.0)
+                    ) / nvis * o.lambda_scale
+            return total
+
+        reg_total, g_reg = jax.value_and_grad(reg_loss)(state.params)
+        g_reg = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "data") / n_data, g_reg
+        )
+        reg_mean = jax.lax.pmean(reg_total, "data")
+        g_params = jax.tree_util.tree_map(jnp.add, g_params, g_reg)
+
+        # --- updates (identical on every device) ---------------------------
+        lr = gaussian_lr_tree(state.params, state.adam.step + 1, cfg, spatial_lr_scale)
+        new_params, new_adam = adam_update(state.params, g_params, state.adam, lr)
+        new_flame, new_flame_adam = state.flame, state.flame_adam
+        if use_flame:
+            new_flame, new_flame_adam = adam_update(
+                state.flame, g_flame, state.flame_adam, flame_lr_tree(cfg)
+            )
+
+        metrics = {
+            "loss": loss + reg_mean,
+            "l1": l1,
+            "ssim": s,
+            "psnr": psnr(jax.lax.stop_gradient(img), gt_full),
+            "num_visible": jnp.sum(vis).astype(jnp.float32),
+            "overflow": binned.overflow.astype(jnp.float32),
+        }
+        # Reduce every metric to a mesh-invariant scalar (pmean is exact for
+        # the already-identical ones, an average for per-camera ones, and an
+        # upper-bound-ish mean for overflow which we only use as a flag).
+        metrics = {
+            k: jax.lax.pmean(jax.lax.pmean(v, "data"), "tile")
+            for k, v in metrics.items()
+        }
+        new_state = dataclasses.replace(
+            state, params=new_params, aux=aux_new, adam=new_adam,
+            flame=new_flame, flame_adam=new_flame_adam,
+        )
+        return new_state, metrics
+
+    state_spec = P()  # replicated
+    cam_spec = CameraBatch(
+        world_view=P("data"), proj=P("data"), full_proj=P("data"),
+        camera_center=P("data"), timestep=P("data"),
+    )
+    gt_spec = P("data", "tile")
+
+    @functools.lru_cache(maxsize=8)
+    def _sharded(sh_degree: int):
+        return jax.shard_map(
+            functools.partial(device_fn, sh_degree),
+            mesh=mesh,
+            in_specs=(state_spec, cam_spec, gt_spec, P()),
+            out_specs=(state_spec, P()),
+        )
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
+    def step(state, cams: CameraBatch, gt: jnp.ndarray, bg: jnp.ndarray,
+             sh_degree: int = 0):
+        return _sharded(sh_degree)(state, cams, gt, bg)
+
+    return step

@@ -34,14 +34,17 @@ def weighted_l1_loss(pred, target, weight) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=4)
 def _gaussian_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - size // 2
-    g = jnp.exp(-(x**2) / (2 * sigma**2))
-    return g / jnp.sum(g)
+    # numpy on purpose: an lru-cached traced array would leak across jit traces.
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    return np.asarray(g / g.sum(), np.float32)
 
 
 def _depthwise_blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of [C, H, W] with SAME padding."""
-    g = _gaussian_window(window, sigma)
+    g = jnp.asarray(_gaussian_window(window, sigma))
     c = img.shape[0]
     x = img[None]  # NCHW
     kh = jnp.tile(g.reshape(1, 1, window, 1), (c, 1, 1, 1))
