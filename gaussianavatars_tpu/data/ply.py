@@ -124,3 +124,62 @@ def load_gaussian_ply(path: str) -> dict:
         binding=col["binding_0"].astype(np.int32) if "binding_0" in col else None,
     )
     return out
+
+
+def save_point_ply(path: str, xyz: np.ndarray, rgb01: np.ndarray) -> None:
+    """Point-cloud PLY with uchar colors (`storePly`,
+    `scene/dataset_readers.py:126-140` format)."""
+    n = xyz.shape[0]
+    lines = [
+        "ply", "format binary_little_endian 1.0", f"element vertex {n}",
+        "property float x", "property float y", "property float z",
+        "property float nx", "property float ny", "property float nz",
+        "property uchar red", "property uchar green", "property uchar blue",
+        "end_header",
+    ]
+    header = ("\n".join(lines) + "\n").encode("ascii")
+    dt = np.dtype([
+        ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+        ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+        ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+    ])
+    rec = np.zeros(n, dt)
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rgb = np.clip(rgb01 * 255.0, 0, 255).astype(np.uint8)
+    rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(rec.tobytes())
+
+
+def load_point_ply(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load a point-cloud PLY → (xyz [N,3], rgb01 [N,3]) (`fetchPly`,
+    `scene/dataset_readers.py:117-124`). Handles float + uchar properties."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    head_end = raw.index(b"end_header\n") + len(b"end_header\n")
+    header = raw[:head_end].decode("ascii").splitlines()
+    n = 0
+    props: list[tuple[str, str]] = []
+    for line in header:
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "element" and t[1] == "vertex":
+            n = int(t[2])
+        elif t[0] == "property" and len(t) == 3 and n > 0:
+            props.append((t[2], t[1]))
+        elif t[0] == "element" and t[1] != "vertex":
+            break
+    typemap = {"float": "<f4", "float32": "<f4", "double": "<f8",
+               "uchar": "u1", "uint8": "u1", "int": "<i4", "uint": "<u4"}
+    dt = np.dtype([(name, typemap[ty]) for name, ty in props])
+    rec = np.frombuffer(raw, dtype=dt, count=n, offset=head_end)
+    xyz = np.stack([rec["x"], rec["y"], rec["z"]], 1).astype(np.float64)
+    if "red" in rec.dtype.names:
+        scale = 255.0 if rec.dtype["red"] == np.uint8 else 1.0
+        rgb = np.stack([rec["red"], rec["green"], rec["blue"]], 1).astype(np.float64) / scale
+    else:
+        rgb = np.full((n, 3), 0.5)
+    return xyz, rgb
