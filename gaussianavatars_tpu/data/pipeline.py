@@ -113,13 +113,21 @@ class Prefetcher:
                 item = (views, np.stack(gts, 0))
             except Exception as e:  # surface decode errors to the consumer
                 item = e
-            # Preserve sampler order across threads.
+            # Preserve sampler order across threads: wait for our turn, then
+            # put *outside* the condition lock (a full queue must never block
+            # close(), which needs the lock to wake waiters).
             with self._emit_cv:
                 while self._emit != ticket and not self._stop.is_set():
                     self._emit_cv.wait(0.1)
-                if self._stop.is_set():
-                    return
-                self._q.put(item)
+            if self._stop.is_set():
+                return
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            with self._emit_cv:
                 self._emit += 1
                 self._emit_cv.notify_all()
 

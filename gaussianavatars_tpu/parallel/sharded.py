@@ -47,7 +47,7 @@ from ..models.gaussians import world_gaussians
 from ..ops.projection import project_from_params
 from ..ops.rasterize_tiled import TileConfig, bin_gaussians, rasterize_binned
 from ..ops.sh import eval_sh_color
-from ..training.loss import l1_loss, psnr, ssim
+from ..training.loss import l1_loss, psnr, safe_norm, ssim
 from ..training.optim import adam_update
 from ..training.trainer import (
     TrainState,
@@ -217,13 +217,13 @@ def make_sharded_train_step(
             total = jnp.zeros(())
             if use_flame:
                 xyz_excess = jax.nn.relu(
-                    jnp.linalg.norm(params.means, axis=1) - o.threshold_xyz
+                    safe_norm(params.means, axis=1) - o.threshold_xyz
                 )
                 total += jnp.sum(jnp.where(vis, xyz_excess, 0.0)) / nvis * o.lambda_xyz
                 if o.lambda_scale != 0:
                     sc = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
                     total += jnp.sum(
-                        jnp.where(vis, jnp.linalg.norm(sc, axis=1), 0.0)
+                        jnp.where(vis, safe_norm(sc, axis=1), 0.0)
                     ) / nvis * o.lambda_scale
             return total
 

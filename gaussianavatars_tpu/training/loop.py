@@ -1,0 +1,434 @@
+"""Host training loop: the library behind `scripts/train.py`.
+
+Functional equivalent of the reference driver (`train.py:45-311`):
+per-iteration jitted step (trainer.make_train_step), with host-driven
+events at the reference cadence —
+
+  * SH warm-up every 1000 iters (`train.py:176-177`),
+  * densify/prune every `densification_interval` in
+    [densify_from_iter, densify_until_iter) with smart percentile
+    thresholds when innovation 2 is on (`train.py:264-273`),
+  * opacity reset every `opacity_reset_interval`,
+  * progressive-resolution camera swaps at milestones (innovation 3,
+    `train.py:127-141`) — each scale gets its own jitted step (XLA statically
+    shapes the image),
+  * eval reports (`training_report`, `train.py:313-394`), PLY saves, and full
+    resume checkpoints (`train.py:287-289`).
+
+The loop owns host-side state (prefetchers, logs); everything numeric lives
+in the donated TrainState pytree on device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.cameras import Camera
+from ..data.pipeline import Prefetcher, load_view
+from ..data.scene import Scene
+from ..models.densify import (
+    DensifyConfig, densify_and_prune, reset_opacity,
+)
+from ..models.binding import face_frames
+from ..models.flame.flame_model import FlameModel, FlameParams
+from ..models.gaussians import GaussianAux, GaussianParams, init_bound, init_from_points, num_alive
+from ..ops.rasterize_tiled import TileConfig, render_tiled
+from ..training import innovations
+from ..training.checkpoint import save_train_state, load_train_state
+from ..training.loss import psnr as psnr_fn, ssim as ssim_fn
+from ..training.trainer import (
+    TrainState, active_sh_degree, init_train_state, make_train_step,
+)
+
+
+def flame_init_from_table(
+    table: Dict[str, np.ndarray],
+    n_shape: Optional[int] = None,
+    n_expr: Optional[int] = None,
+) -> dict:
+    """Scene flame table (reference npz key names) → trainer kwarg names.
+
+    `n_shape`/`n_expr` truncate or zero-pad the dataset coefficients to the
+    model's blendshape count (datasets store 300/100; smaller test models
+    use fewer)."""
+
+    def fit(x: np.ndarray, n: Optional[int]) -> np.ndarray:
+        if n is None or x.shape[-1] == n:
+            return x
+        if x.shape[-1] > n:
+            return x[..., :n]
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        return np.pad(x, pad)
+
+    return {
+        "shape": fit(table["shape"], n_shape),
+        "expr": fit(table["expr"], n_expr),
+        "rotation": table["rotation"],
+        "neck": table["neck_pose"],
+        "jaw": table["jaw_pose"],
+        "eyes": table["eyes_pose"],
+        "translation": table["translation"],
+        "static_offset": table["static_offset"],
+    }
+
+
+def flame_table_from_state(state: TrainState, template: Dict[str, np.ndarray]) -> dict:
+    """Export trained FLAME params in the reference npz layout
+    (`scene/flame_gaussian_model.py:218-223`)."""
+    out = dict(template)
+    out["shape"] = np.asarray(state.flame_static.shape)
+    out["expr"] = np.asarray(state.flame.expr)
+    out["rotation"] = np.asarray(state.flame.rotation)
+    out["neck_pose"] = np.asarray(state.flame.neck)
+    out["jaw_pose"] = np.asarray(state.flame.jaw)
+    out["eyes_pose"] = np.asarray(state.flame.eyes)
+    out["translation"] = np.asarray(state.flame.translation)
+    if state.flame_static.static_offset is not None:
+        out["static_offset"] = np.asarray(state.flame_static.static_offset)
+    return out
+
+
+def tile_config(cfg: Config) -> TileConfig:
+    p = cfg.pipeline
+    return TileConfig(
+        tile_h=p.tile_h, tile_w=p.tile_w, capacity=p.capacity_per_tile,
+        max_tiles_per_gaussian=p.max_tiles_per_gaussian,
+    )
+
+
+@dataclasses.dataclass
+class TrainerHarness:
+    """Everything `train()` assembles before the loop."""
+
+    cfg: Config
+    scene: Scene
+    model: Optional[FlameModel]
+    state: TrainState
+    spatial_lr_scale: float
+    start_iteration: int = 0
+
+
+def build_harness(
+    cfg: Config,
+    model: Optional[FlameModel] = None,
+    key: Optional[jax.Array] = None,
+    start_checkpoint: str = "",
+) -> TrainerHarness:
+    m = cfg.model
+    scales = (
+        tuple(sorted(set(cfg.opt.resolution_schedule), reverse=True))
+        if cfg.opt.use_progressive_resolution else (1.0,)
+    )
+    # Progressive schedule entries are image-scale factors (<1 = smaller);
+    # Scene wants divisors.
+    res_scales = tuple(1.0 / s for s in scales)
+    scene = Scene(
+        m.source_path, model_path=m.model_path, resolution=m.resolution,
+        white_background=m.white_background, eval_split=m.eval,
+        target_path=m.target_path, resolution_scales=res_scales,
+        select_camera_id=m.select_camera_id,
+        num_verts_hint=model.num_verts if model is not None else 0,
+    )
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    if m.bind_to_mesh:
+        if model is None:
+            raise ValueError("bind_to_mesh requires a FlameModel")
+        params, aux = init_bound(model.num_faces, capacity=m.capacity, key=key)
+        flame_init = flame_init_from_table(
+            scene.flame_table, n_shape=model.cfg.n_shape, n_expr=model.cfg.n_expr
+        )
+        state = init_train_state(
+            params, aux, cfg,
+            num_timesteps=scene.num_timesteps,
+            n_expr=model.cfg.n_expr, n_shape=model.cfg.n_shape,
+            num_verts=model.num_verts, key=key,
+            image_hw=(scene.train_cameras()[0].height, scene.train_cameras()[0].width),
+            flame_init=flame_init,
+        )
+    else:
+        pcd = scene.info.point_cloud
+        if pcd is None:
+            raise ValueError("unbound training requires a dataset point cloud")
+        params, aux = init_from_points(pcd.points, pcd.colors, capacity=m.capacity)
+        state = init_train_state(
+            params, aux, cfg, key=key,
+            image_hw=(scene.train_cameras()[0].height, scene.train_cameras()[0].width),
+        )
+        model = None
+
+    start_iteration = 0
+    if start_checkpoint:
+        state, start_iteration = load_train_state(start_checkpoint, state)
+        print(f"resumed from {start_checkpoint} at iteration {start_iteration}")
+
+    if m.model_path:
+        os.makedirs(m.model_path, exist_ok=True)
+        from ..config import to_json
+
+        with open(os.path.join(m.model_path, "cfg_args.json"), "w") as f:
+            f.write(to_json(cfg))
+
+    return TrainerHarness(
+        cfg=cfg, scene=scene, model=model, state=state,
+        spatial_lr_scale=scene.cameras_extent, start_iteration=start_iteration,
+    )
+
+
+def make_render_fn(model: Optional[FlameModel], cfg: Config, tcfg: TileConfig):
+    """Jitted full-forward render for eval/offline use."""
+    use_flame = model is not None
+
+    def render(state: TrainState, camera: Camera, timestep, bg, sh_degree: int):
+        from ..models.gaussians import world_gaussians
+
+        if use_flame:
+            fp = FlameParams(
+                shape=state.flame_static.shape,
+                expr=state.flame.expr[timestep][None],
+                rotation=state.flame.rotation[timestep][None],
+                neck=state.flame.neck[timestep][None],
+                jaw=state.flame.jaw[timestep][None],
+                eyes=state.flame.eyes[timestep][None],
+                translation=state.flame.translation[timestep][None],
+                static_offset=state.flame_static.static_offset,
+            )
+            verts = model.forward(fp)
+            frames = face_frames(verts[0], model.faces)
+        else:
+            frames = None
+        from ..models.gaussians import world_gaussians as wg_fn
+
+        wg = wg_fn(state.params, state.aux, frames)
+        out = render_tiled(
+            wg.means, wg.scales, wg.quats, wg.opacity, camera, bg,
+            sh=wg.sh, sh_degree=sh_degree, alive=wg.alive, cfg=tcfg,
+            use_pallas=cfg.pipeline.use_pallas,
+        )
+        img = out.color
+        if state.color_net is not None:
+            img = innovations.color_net_apply(state.color_net, img)
+        return img
+
+    return jax.jit(render, static_argnames=("sh_degree",))
+
+
+def evaluate_split(
+    harness: TrainerHarness, split: str, render_fn, sh_degree: int,
+    max_views: Optional[int] = None, bg: Optional[jnp.ndarray] = None,
+) -> Dict[str, float]:
+    """PSNR/SSIM over a split (`training_report`, `train.py:313-394`)."""
+    scene, cfg = harness.scene, harness.cfg
+    cams = scene.cameras(split)
+    recs = scene.records(split)
+    if not cams:
+        return {}
+    if bg is None:
+        bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+    n = len(cams) if max_views is None else min(max_views, len(cams))
+    psnrs, ssims = [], []
+    for i in range(n):
+        gt = jnp.asarray(load_view(recs[i], cams[i]))
+        img = render_fn(harness.state, cams[i], jnp.int32(cams[i].timestep), bg, sh_degree)
+        img = jnp.clip(img, 0.0, 1.0)
+        psnrs.append(float(psnr_fn(img, gt)))
+        ssims.append(float(ssim_fn(
+            jnp.transpose(img, (2, 0, 1)), jnp.transpose(gt, (2, 0, 1))
+        )))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)), "n": n}
+
+
+def densify_event(harness: TrainerHarness, iteration: int) -> dict:
+    """One adaptive-density-control event (cadence: `train.py:264-273`)."""
+    cfg, state, model = harness.cfg, harness.state, harness.model
+    o = cfg.opt
+    dcfg = DensifyConfig(
+        grad_threshold=o.densify_grad_threshold,
+        percent_dense=o.percent_dense,
+        min_opacity=0.005,
+        max_screen_size=20.0 if iteration > o.opacity_reset_interval else 0.0,
+    )
+    clone_thr = split_thr = None
+    if o.use_smart_densification:
+        clone_thr, split_thr = innovations.smart_thresholds(
+            state.aux.grad_accum, state.aux.denom, o.densify_grad_threshold,
+            o.densify_percentile_clone, o.densify_percentile_split,
+        )
+    frames = None
+    if model is not None:
+        t = 0
+        fp = FlameParams(
+            shape=state.flame_static.shape,
+            expr=state.flame.expr[t][None],
+            rotation=state.flame.rotation[t][None],
+            neck=state.flame.neck[t][None],
+            jaw=state.flame.jaw[t][None],
+            eyes=state.flame.eyes[t][None],
+            translation=state.flame.translation[t][None],
+            static_offset=state.flame_static.static_offset,
+        )
+        verts = model.forward(fp)
+        frames = face_frames(verts[0], model.faces)
+    key, sub = jax.random.split(state.key)
+    params, aux, mu, nu, report = densify_and_prune(
+        state.params, state.aux, state.adam.mu, state.adam.nu, sub,
+        extent=harness.spatial_lr_scale, cfg=dcfg, frames=frames,
+        clone_threshold=clone_thr, split_threshold=split_thr,
+    )
+    harness.state = dataclasses.replace(
+        state, params=params, aux=aux,
+        adam=state.adam._replace(mu=mu, nu=nu), key=key,
+    )
+    return {k: int(v) for k, v in report._asdict().items()}
+
+
+def opacity_reset_event(harness: TrainerHarness) -> None:
+    state = harness.state
+    params, mu, nu = reset_opacity(state.params, state.adam.mu, state.adam.nu)
+    harness.state = dataclasses.replace(
+        state, params=params, adam=state.adam._replace(mu=mu, nu=nu)
+    )
+
+
+def train(
+    harness: TrainerHarness,
+    iterations: Optional[int] = None,
+    log_every: int = 100,
+    eval_every: Optional[int] = None,
+    save_iterations: Sequence[int] = (),
+    checkpoint_iterations: Sequence[int] = (),
+    eval_views: int = 4,
+    on_step: Optional[Callable[[int, dict], None]] = None,
+    seed: int = 0,
+    prefetch_workers: int = 4,
+) -> List[dict]:
+    """Run the loop. Returns the logged metric dicts."""
+    cfg, scene, model = harness.cfg, harness.scene, harness.model
+    o = cfg.opt
+    iterations = iterations if iterations is not None else o.iterations
+    tcfg = tile_config(cfg)
+    bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+
+    steps: Dict[float, Callable] = {}
+    prefetchers: Dict[float, Prefetcher] = {}
+
+    def step_for(scale: float):
+        if scale not in steps:
+            steps[scale] = make_train_step(
+                model, cfg, tcfg, spatial_lr_scale=harness.spatial_lr_scale
+            )
+            prefetchers[scale] = Prefetcher(
+                scene.records("train"), scene.cameras("train", scale),
+                seed=seed, workers=prefetch_workers,
+            )
+        return steps[scale], prefetchers[scale]
+
+    render_fn = make_render_fn(model, cfg, tcfg)
+    logs: List[dict] = []
+    ema = None
+    t0 = time.time()
+    writer = _maybe_tensorboard(cfg.model.model_path)
+
+    try:
+        for it in range(harness.start_iteration + 1, iterations + 1):
+            if o.use_progressive_resolution:
+                img_scale = innovations.resolution_scale_at(
+                    it, o.resolution_schedule, o.resolution_milestones
+                )
+                div = 1.0 / img_scale
+            else:
+                div = 1.0
+            step, pf = step_for(div)
+            views, gt = pf.next()
+            v = views[0]
+            cam = scene.cameras("train", div)[v]
+            sh_deg = active_sh_degree(it, cfg.model.sh_degree)
+            out = step(
+                harness.state, gt[0], cam, jnp.int32(cam.timestep), bg, sh_deg
+            )
+            harness.state = out.state
+            metrics = out.metrics
+
+            if it % log_every == 0 or it == iterations:
+                loss = float(metrics["loss"])
+                ema = loss if ema is None else 0.6 * ema + 0.4 * loss
+                rec = {
+                    "iteration": it,
+                    "loss": loss,
+                    "ema_loss": ema,
+                    "psnr": float(metrics["psnr"]),
+                    "num_points": int(num_alive(harness.state.aux)),
+                    "elapsed_s": time.time() - t0,
+                }
+                logs.append(rec)
+                if writer:
+                    for k in ("loss", "psnr"):
+                        writer.add_scalar(f"train/{k}", rec[k], it)
+                    writer.add_scalar("train/num_points", rec["num_points"], it)
+                print(
+                    f"[{it}/{iterations}] loss={loss:.5f} ema={ema:.5f} "
+                    f"psnr={rec['psnr']:.2f} pts={rec['num_points']}"
+                )
+                if on_step:
+                    on_step(it, rec)
+
+            # ---- densification (`train.py:264-273`) ------------------------
+            if (
+                o.densify_from_iter <= it < o.densify_until_iter
+                and it % o.densification_interval == 0
+            ):
+                report = densify_event(harness, it)
+                if writer:
+                    writer.add_scalar("densify/cloned", report["cloned"], it)
+                    writer.add_scalar("densify/split", report["split"], it)
+                    writer.add_scalar("densify/pruned", report["pruned"], it)
+            if it % o.opacity_reset_interval == 0 and it < o.densify_until_iter:
+                opacity_reset_event(harness)
+
+            if eval_every and it % eval_every == 0:
+                for split in ("val", "test"):
+                    m = evaluate_split(
+                        harness, split, render_fn, sh_deg, max_views=eval_views, bg=bg
+                    )
+                    if m:
+                        print(f"  [eval {split}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
+                        if writer:
+                            writer.add_scalar(f"{split}/psnr", m["psnr"], it)
+                            writer.add_scalar(f"{split}/ssim", m["ssim"], it)
+
+            if it in set(save_iterations):
+                flame_param = (
+                    flame_table_from_state(harness.state, scene.flame_table)
+                    if model is not None else None
+                )
+                scene.save(it, harness.state.params, harness.state.aux, flame_param)
+            if it in set(checkpoint_iterations):
+                save_train_state(
+                    os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
+                    harness.state, it,
+                )
+    finally:
+        for pf in prefetchers.values():
+            pf.close()
+        if writer:
+            writer.close()
+    return logs
+
+
+def _maybe_tensorboard(model_path: str):
+    if not model_path:
+        return None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(model_path)
+    except Exception:
+        return None

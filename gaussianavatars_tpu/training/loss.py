@@ -76,3 +76,16 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window: int = SSIM_WINDOW,
 def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     mse = jnp.mean((pred - target) ** 2)
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def safe_norm(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """L2 norm with a zero (not NaN) gradient at x = 0.
+
+    `jnp.linalg.norm` back-propagates x/‖x‖ = 0/0 = NaN at the origin; bound
+    Gaussians *start* at the origin of their triangle frame
+    (`init_bound`), so the xyz/scale regularisers need the sub-gradient
+    convention torch uses (reference `train.py:212-218` relies on it).
+    """
+    sq = jnp.sum(x * x, axis=axis)
+    positive = sq > 0
+    return jnp.where(positive, jnp.sqrt(jnp.where(positive, sq, 1.0)), 0.0)

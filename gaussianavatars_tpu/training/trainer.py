@@ -48,7 +48,7 @@ from .innovations import (
     flame_region_weight_map,
     heuristic_weight_map,
 )
-from .loss import l1_loss, psnr, ssim, weighted_l1_loss
+from .loss import l1_loss, psnr, safe_norm, ssim, weighted_l1_loss
 from .optim import AdamState, adam_init, adam_update, expon_lr
 
 
@@ -183,7 +183,7 @@ def make_train_step(
     cfg: Config,
     tile_cfg: TileConfig,
     spatial_lr_scale: float = 1.0,
-    compositor=composite_tiles,
+    compositor=None,
 ):
     """Build the jitted train step.
 
@@ -246,13 +246,25 @@ def make_train_step(
         proj, verts, verts_cano, frames = geo_aux
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
         binned = bin_gaussians(proj_sg, H, W, tile_cfg)
+        if compositor is None:
+            if cfg.pipeline.use_pallas:
+                from ..ops.pallas.composite import make_pallas_compositor
+
+                _nty, ntx = tile_cfg.grid(H, W)
+                step_compositor = make_pallas_compositor(
+                    binned.counts, tile_cfg.tile_h, tile_cfg.tile_w, ntx
+                )
+            else:
+                step_compositor = composite_tiles
+        else:
+            step_compositor = compositor
 
         # ------------------------------------------------ stage 2: image loss
         def image_loss(screen, color_net):
             mean2d, conic, colors, opac = screen
             img, alpha = rasterize_binned(
                 mean2d, conic, colors, opac, binned, H, W, bg_color, tile_cfg,
-                compositor=compositor,
+                compositor=step_compositor,
             )
             if color_net is not None:
                 img = color_net_apply(color_net, img)
@@ -304,12 +316,12 @@ def make_train_step(
             if use_flame:
                 # xyz: keep Gaussians near their triangle (local units).
                 xyz_excess = jax.nn.relu(
-                    jnp.linalg.norm(params.means, axis=1) - o.threshold_xyz
+                    safe_norm(params.means, axis=1) - o.threshold_xyz
                 )
                 losses["xyz"] = jnp.sum(jnp.where(visible, xyz_excess, 0.0)) / nvis * o.lambda_xyz
                 if o.lambda_scale != 0:
                     sc_excess = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
-                    sc_norm = jnp.linalg.norm(sc_excess, axis=1)
+                    sc_norm = safe_norm(sc_excess, axis=1)
                     losses["scale"] = (
                         jnp.sum(jnp.where(visible, sc_norm, 0.0)) / nvis * o.lambda_scale
                     )
