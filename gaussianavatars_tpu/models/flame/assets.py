@@ -248,3 +248,27 @@ def _uv_sphere(n_target: int):
         :n_target
     ].astype(np.float32)
     return verts, uvs, faces, faces.copy()
+
+
+def save_assets(assets: FlameAssets, out_npz: str) -> str:
+    """Persist assets (inverse of `load_assets`). Training writes the model's
+    exact topology into the model dir so render/viewers reload it without the
+    original template/licensed files."""
+    os.makedirs(os.path.dirname(out_npz) or ".", exist_ok=True)
+    np.savez(
+        out_npz,
+        v_template=assets.v_template,
+        shapedirs=assets.shapedirs,
+        n_shape=np.asarray(assets.n_shape),
+        posedirs=assets.posedirs,
+        j_regressor=assets.j_regressor,
+        parents=assets.parents,
+        lbs_weights=assets.lbs_weights,
+        faces=assets.faces,
+        verts_uvs=assets.verts_uvs,
+        faces_uv=assets.faces_uv,
+        lmk_faces_idx=assets.lmk_faces_idx,
+        lmk_bary_coords=assets.lmk_bary_coords,
+        **{f"mask_{k}": np.asarray(v) for k, v in assets.vertex_masks.items()},
+    )
+    return out_npz

@@ -176,6 +176,13 @@ def build_harness(
 
         with open(os.path.join(m.model_path, "cfg_args.json"), "w") as f:
             f.write(to_json(cfg))
+        if model is not None:
+            # Self-contained model dir: render/viewers reload this exact
+            # topology (teeth, masks, blendshape counts) without the
+            # original template/licensed files.
+            from ..models.flame.assets import save_assets
+
+            save_assets(model.assets, os.path.join(m.model_path, "flame_assets.npz"))
 
     return TrainerHarness(
         cfg=cfg, scene=scene, model=model, state=state,
