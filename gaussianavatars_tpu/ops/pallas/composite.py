@@ -3,23 +3,27 @@
 The TPU replacement for the CUDA tile kernels in
 ``diff-gaussian-rasterization`` (reference call site
 `gaussian_renderer/__init__.py:86-94`). One grid program per image tile;
-its ≤capacity front-to-back Gaussian list sits in VMEM; the slot loop is a
-`lax.while_loop` bounded by the *actual* per-tile count (scalar-prefetched)
-with transmittance early-exit — the two data-dependent savings XLA cannot
-express on dense arrays (the `lax.scan` fallback in `ops/rasterize_tiled.py`
-always walks full capacity).
+its ≤capacity front-to-back Gaussian list sits in VMEM. Two data-dependent
+savings the dense `lax.scan` fallback (`ops/rasterize_tiled.py`) cannot
+express:
+
+  * the chunk loop is bounded by the *actual* per-tile count
+    (scalar-prefetched) instead of the static capacity, and
+  * it exits early once every pixel's transmittance saturates (forward) or
+    every pixel is past its stop index (backward).
+
+Kernel shape (measured on v5e): per-slot *scalar* VMEM loads are ~4× slower
+than the math itself, so slots are processed in chunks of ``_CHUNK``: one
+dynamic-sublane vector load per parameter per chunk, slot broadcasts as
+[K, 1, 1] against the [rows, 128] pixel block, and the sequential
+transmittance recurrence runs over the K leading rows in registers.
 
 Semantics match the scan compositor exactly (1/255 alpha cutoff, 0.99 alpha
-clamp, per-pixel T<1e-4 early stop with stop-index replay in the backward),
-which in turn matches `ops/rasterize_dense.py`, the tested ground truth.
-
-Layout notes (guide: /opt/skills/guides/pallas_guide.md):
-  * tile pixels are processed as a [P//128, 128] f32 vreg block (P = th·tw
-    must be a multiple of 128), so every per-slot update is a handful of
-    full-width VPU instructions;
-  * per-slot parameters are scalar reads from the tile's VMEM slot table;
-  * the backward replays back-to-front from the saved final transmittance
-    and per-pixel stop index — nothing O(capacity × pixels) is stored.
+clamp, per-pixel T<1e-4 early stop), which in turn matches
+`ops/rasterize_dense.py`, the tested ground truth. The backward runs
+**front-to-back** using suffix_s = acc_total − prefix_{≤s} (acc_total is the
+saved primal output) — Mosaic cannot store per-slot scalars to VMEM, so
+per-chunk grads become aligned sublane-vector stores.
 """
 from __future__ import annotations
 
@@ -36,6 +40,8 @@ ALPHA_CUTOFF = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
+_CHUNK = 32  # slots per chunk; must divide the tile capacity
+
 
 def _pixel_coords(th: int, tw: int, x0, y0):
     """Pixel centre coordinates of this tile as [P//128, 128] f32 blocks."""
@@ -50,21 +56,54 @@ def _pixel_coords(th: int, tw: int, x0, y0):
     return px, py
 
 
+def _load_chunk(mean_ref, conic_ref, color_ref, opac_ref, base, k, ones=None):
+    """One vector load per parameter table for k consecutive slots.
+
+    Values are returned as [K, 1, 1] broadcasts. Entries named in the caller
+    must be *materialised* to [K, rows, 128] before per-slot (2D) indexing —
+    Mosaic can broadcast [K,1,1] against a 3D tensor but cannot broadcast a
+    2D [1,1] slice in both sublanes and lanes. Pass `ones` ([1, rows, 128])
+    to get fully-broadcast colour/conic planes.
+    """
+    m = mean_ref[0, pl.ds(base, k), :]     # [K, 2]
+    co = conic_ref[0, pl.ds(base, k), :]   # [K, 3]
+    cl = color_ref[0, pl.ds(base, k), :]   # [K, 3]
+    op = opac_ref[0, pl.ds(base, k), 0]    # [K]
+    r = lambda v: v.reshape(k, 1, 1)
+    b = (lambda v: r(v) * ones) if ones is not None else r
+    return (
+        r(m[:, 0]), r(m[:, 1]),
+        b(co[:, 0]), b(co[:, 1]), b(co[:, 2]),
+        b(cl[:, 0]), b(cl[:, 1]), b(cl[:, 2]),
+        r(op),
+    )
+
+
+def _chunk_alpha(px, py, mx, my, ca, cb, cc, op):
+    """Alpha/use of K slots against the tile's pixels: [K, rows, 128]."""
+    dx = px[None] - mx
+    dy = py[None] - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, op * expp)
+    use = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
+    return dx, dy, expp, alpha, use
+
+
 def _fwd_kernel(
     counts_ref,            # scalar-prefetch: [NT] i32
     mean_ref,              # [1, C, 2]
     conic_ref,             # [1, C, 3]
     color_ref,             # [1, C, 3]
-    opac_ref,              # [1, C]
+    opac_ref,              # [1, C, 1]
     acc_ref,               # out [1, 3, P]
-    tfin_ref,              # out [1, P]
-    stop_ref,              # out [1, P] i32
+    tfin_ref,              # out [1, 1, P]
+    stop_ref,              # out [1, 1, P] i32
     *,
     th: int,
     tw: int,
     ntx: int,
     capacity: int,
-    check_every: int = 8,
 ):
     i = pl.program_id(0)
     p = th * tw
@@ -74,41 +113,42 @@ def _fwd_kernel(
     px, py = _pixel_coords(th, tw, x0, y0)
 
     count = jnp.minimum(counts_ref[i], capacity)
+    K = _CHUNK
+    n_chunks = (count + K - 1) // K
+
+    ones = jnp.ones((1, rows, 128), jnp.float32)
 
     def body(carry):
-        s, t, stop, a0, a1, a2, _alive = carry
-        mx = mean_ref[0, s, 0]
-        my = mean_ref[0, s, 1]
-        ca = conic_ref[0, s, 0]
-        cb = conic_ref[0, s, 1]
-        cc = conic_ref[0, s, 2]
-        op = opac_ref[0, s]
-        dx = px - mx
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        use = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
-        running = s < stop
-        test_t = t * (1.0 - alpha)
-        trigger = use & running & (test_t < T_EPS)
-        stop = jnp.where(trigger, s, stop)
-        contrib = use & running & jnp.logical_not(trigger)
-        w = jnp.where(contrib, alpha * t, 0.0)
-        a0 = a0 + w * color_ref[0, s, 0]
-        a1 = a1 + w * color_ref[0, s, 1]
-        a2 = a2 + w * color_ref[0, s, 2]
-        t = jnp.where(contrib, test_t, t)
-        # Re-check liveness only every `check_every` slots (reduction cost).
-        alive = jax.lax.cond(
-            (s + 1) % check_every == 0,
-            lambda: jnp.max(t) >= T_EPS,
-            lambda: jnp.bool_(True),
+        k, t, stop, a0, a1, a2, _alive = carry
+        base = k * K
+        mx, my, ca, cb, cc, c0, c1, c2, op = _load_chunk(
+            mean_ref, conic_ref, color_ref, opac_ref, base, K, ones=ones
         )
-        return s + 1, t, stop, a0, a1, a2, alive
+        _dx, _dy, _expp, alpha, use = _chunk_alpha(px, py, mx, my, ca, cb, cc, op)
+        w0 = jnp.zeros_like(a0)
+        w1 = jnp.zeros_like(a0)
+        w2 = jnp.zeros_like(a0)
+        for j in range(K):
+            s = base + j
+            running = s < stop
+            test_t = t * (1.0 - alpha[j])
+            trigger = use[j] & running & (test_t < T_EPS)
+            stop = jnp.where(trigger, s, stop)
+            contrib = use[j] & running & jnp.logical_not(trigger)
+            w = jnp.where(contrib, alpha[j] * t, 0.0)
+            w0 = w0 + w * c0[j]
+            w1 = w1 + w * c1[j]
+            w2 = w2 + w * c2[j]
+            t = jnp.where(contrib, test_t, t)
+        a0 = a0 + w0
+        a1 = a1 + w1
+        a2 = a2 + w2
+        alive = jnp.max(t) >= T_EPS
+        return k + 1, t, stop, a0, a1, a2, alive
 
     def cond(carry):
-        s, _t, _stop, _a0, _a1, _a2, alive = carry
-        return (s < count) & alive
+        k, _t, _stop, _a0, _a1, _a2, alive = carry
+        return (k < n_chunks) & alive
 
     zeros = jnp.zeros((rows, 128), jnp.float32)
     init = (
@@ -118,12 +158,12 @@ def _fwd_kernel(
         zeros, zeros, zeros,
         jnp.bool_(True),
     )
-    _s, t, stop, a0, a1, a2, _ = jax.lax.while_loop(cond, body, init)
+    _k, t, stop, a0, a1, a2, _ = jax.lax.while_loop(cond, body, init)
     acc_ref[0, 0, :] = a0.reshape(p)
     acc_ref[0, 1, :] = a1.reshape(p)
     acc_ref[0, 2, :] = a2.reshape(p)
-    tfin_ref[0, :] = t.reshape(p)
-    stop_ref[0, :] = stop.reshape(p)
+    tfin_ref[0, 0, :] = t.reshape(p)
+    stop_ref[0, 0, :] = stop.reshape(p)
 
 
 def _bwd_kernel(
@@ -131,15 +171,16 @@ def _bwd_kernel(
     mean_ref,              # [1, C, 2]
     conic_ref,             # [1, C, 3]
     color_ref,             # [1, C, 3]
-    opac_ref,              # [1, C]
-    tfin_ref,              # [1, P]
-    stop_ref,              # [1, P] i32
+    opac_ref,              # [1, C, 1]
+    acc_ref,               # [1, 3, P] primal output (premultiplied colour)
+    tfin_ref,              # [1, 1, P]
+    stop_ref,              # [1, 1, P] i32
     gacc_ref,              # [1, 3, P] cotangent of acc
-    gt_ref,                # [1, P]    cotangent of t_final
+    gt_ref,                # [1, 1, P] cotangent of t_final
     dmean_ref,             # out [1, C, 2]
     dconic_ref,            # out [1, C, 3]
     dcolor_ref,            # out [1, C, 3]
-    dopac_ref,             # out [1, C]
+    dopac_ref,             # out [1, C, 1]
     *,
     th: int,
     tw: int,
@@ -161,65 +202,83 @@ def _bwd_kernel(
     dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
     dopac_ref[...] = jnp.zeros_like(dopac_ref)
 
-    t_final = tfin_ref[0, :].reshape(rows, 128)
-    stop = stop_ref[0, :].reshape(rows, 128)
+    t_final = tfin_ref[0, 0, :].reshape(rows, 128)
+    stop = stop_ref[0, 0, :].reshape(rows, 128)
+    a0 = acc_ref[0, 0, :].reshape(rows, 128)
+    a1 = acc_ref[0, 1, :].reshape(rows, 128)
+    a2 = acc_ref[0, 2, :].reshape(rows, 128)
     g0 = gacc_ref[0, 0, :].reshape(rows, 128)
     g1 = gacc_ref[0, 1, :].reshape(rows, 128)
     g2 = gacc_ref[0, 2, :].reshape(rows, 128)
-    g_t = gt_ref[0, :].reshape(rows, 128)
+    g_t = gt_ref[0, 0, :].reshape(rows, 128)
 
-    def body(k, carry):
-        # Replay slots back-to-front: s = count-1-k.
-        t_after, s0, s1, s2 = carry   # T_{s+1}; suffix Σ_{j>s} c_j α_j T_j
-        s = count - 1 - k
-        mx = mean_ref[0, s, 0]
-        my = mean_ref[0, s, 1]
-        ca = conic_ref[0, s, 0]
-        cb = conic_ref[0, s, 1]
-        cc = conic_ref[0, s, 2]
-        op = opac_ref[0, s]
-        c0 = color_ref[0, s, 0]
-        c1 = color_ref[0, s, 1]
-        c2 = color_ref[0, s, 2]
-        dx = px - mx
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        use = (power <= 0.0) & (alpha >= ALPHA_CUTOFF)
-        contrib = use & (s < stop)
-        one_minus = 1.0 - alpha
-        t_i = jnp.where(contrib, t_after / one_minus, t_after)
-        w = jnp.where(contrib, alpha * t_i, 0.0)
+    K = _CHUNK
+    # Slots at s ≥ every pixel's stop index have zero gradients: bound the
+    # replay by max(stop) as well as count.
+    needed = jnp.minimum(count, jnp.max(stop) + 1)
+    n_chunks = (needed + K - 1) // K
 
-        inv_one = 1.0 / one_minus
-        d_alpha = (
-            g0 * (c0 * t_i - s0 * inv_one)
-            + g1 * (c1 * t_i - s1 * inv_one)
-            + g2 * (c2 * t_i - s2 * inv_one)
-            + g_t * (-t_final * inv_one)
+    ones = jnp.ones((1, rows, 128), jnp.float32)
+
+    def chunk_body(k, carry):
+        t, p0, p1, p2 = carry   # T before slot, prefix Σ_{j<s} w_j c_j
+        base = k * K
+        mx, my, ca, cb, cc, c0, c1, c2, op = _load_chunk(
+            mean_ref, conic_ref, color_ref, opac_ref, base, K, ones=ones
         )
-        d_alpha = jnp.where(contrib, d_alpha, 0.0)
+        dx, dy, expp, alpha, use = _chunk_alpha(px, py, mx, my, ca, cb, cc, op)
+        one_minus = 1.0 - alpha
+        inv_one = 1.0 / one_minus
         unclamped = alpha < ALPHA_MAX
-        d_o_pix = jnp.where(unclamped, d_alpha * jnp.exp(power), 0.0)
-        d_p = jnp.where(unclamped, d_alpha * alpha, 0.0)
 
-        dcolor_ref[0, s, 0] = jnp.sum(w * g0)
-        dcolor_ref[0, s, 1] = jnp.sum(w * g1)
-        dcolor_ref[0, s, 2] = jnp.sum(w * g2)
-        dopac_ref[0, s] = jnp.sum(d_o_pix)
-        dconic_ref[0, s, 0] = jnp.sum(d_p * (-0.5 * dx * dx))
-        dconic_ref[0, s, 1] = jnp.sum(d_p * (-dx * dy))
-        dconic_ref[0, s, 2] = jnp.sum(d_p * (-0.5 * dy * dy))
-        dmean_ref[0, s, 0] = jnp.sum(d_p * (ca * dx + cb * dy))
-        dmean_ref[0, s, 1] = jnp.sum(d_p * (cc * dy + cb * dx))
-
-        s0 = s0 + w * c0
-        s1 = s1 + w * c1
-        s2 = s2 + w * c2
-        return t_i, s0, s1, s2
+        dm0, dm1, dc0, dc1, dc2, dl0, dl1, dl2, dop = ([] for _ in range(9))
+        for j in range(K):
+            s = base + j
+            contrib = use[j] & (s < stop)
+            w = jnp.where(contrib, alpha[j] * t, 0.0)
+            wc0 = w * c0[j]
+            wc1 = w * c1[j]
+            wc2 = w * c2[j]
+            # suffix over slots >s from the saved total: acc − prefix_{≤s}.
+            s0 = a0 - p0 - wc0
+            s1 = a1 - p1 - wc1
+            s2 = a2 - p2 - wc2
+            d_alpha = (
+                g0 * (c0[j] * t - s0 * inv_one[j])
+                + g1 * (c1[j] * t - s1 * inv_one[j])
+                + g2 * (c2[j] * t - s2 * inv_one[j])
+                + g_t * (-t_final * inv_one[j])
+            )
+            d_alpha = jnp.where(contrib, d_alpha, 0.0)
+            d_o_pix = jnp.where(unclamped[j], d_alpha * expp[j], 0.0)
+            d_p = jnp.where(unclamped[j], d_alpha * alpha[j], 0.0)
+            dm0.append(jnp.sum(d_p * (ca[j] * dx[j] + cb[j] * dy[j])))
+            dm1.append(jnp.sum(d_p * (cc[j] * dy[j] + cb[j] * dx[j])))
+            dc0.append(jnp.sum(d_p * (-0.5 * dx[j] * dx[j])))
+            dc1.append(jnp.sum(d_p * (-dx[j] * dy[j])))
+            dc2.append(jnp.sum(d_p * (-0.5 * dy[j] * dy[j])))
+            dl0.append(jnp.sum(w * g0))
+            dl1.append(jnp.sum(w * g1))
+            dl2.append(jnp.sum(w * g2))
+            dop.append(jnp.sum(d_o_pix))
+            p0 = p0 + wc0
+            p1 = p1 + wc1
+            p2 = p2 + wc2
+            t = jnp.where(contrib, t * one_minus[j], t)
+        sl = pl.ds(base, K)
+        dmean_ref[0, sl, 0] = jnp.stack(dm0)
+        dmean_ref[0, sl, 1] = jnp.stack(dm1)
+        dconic_ref[0, sl, 0] = jnp.stack(dc0)
+        dconic_ref[0, sl, 1] = jnp.stack(dc1)
+        dconic_ref[0, sl, 2] = jnp.stack(dc2)
+        dcolor_ref[0, sl, 0] = jnp.stack(dl0)
+        dcolor_ref[0, sl, 1] = jnp.stack(dl1)
+        dcolor_ref[0, sl, 2] = jnp.stack(dl2)
+        dopac_ref[0, sl, 0] = jnp.stack(dop)
+        return t, p0, p1, p2
 
     zeros = jnp.zeros((rows, 128), jnp.float32)
-    jax.lax.fori_loop(0, count, body, (t_final, zeros, zeros, zeros))
+    jax.lax.fori_loop(0, n_chunks, chunk_body, (zeros + 1.0, zeros, zeros, zeros))
 
 
 class _Res(NamedTuple):
@@ -228,6 +287,7 @@ class _Res(NamedTuple):
     g_color: jnp.ndarray
     g_opac: jnp.ndarray
     counts: jnp.ndarray
+    acc: jnp.ndarray       # [NT, 3, P] primal output
     t_final: jnp.ndarray
     stop: jnp.ndarray
 
@@ -240,6 +300,7 @@ def _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx):
     nt, c = g_opac.shape
     p = th * tw
     assert p % 128 == 0, "tile pixel count must be a multiple of 128"
+    assert c % _CHUNK == 0, f"tile capacity must be a multiple of {_CHUNK}"
     kern = functools.partial(_fwd_kernel, th=th, tw=tw, ntx=ntx, capacity=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -248,12 +309,12 @@ def _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx):
             pl.BlockSpec((1, c, 2), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, c, 1), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 3, p), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
         ],
     )
     acc, tfin, stop = pl.pallas_call(
@@ -261,12 +322,12 @@ def _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx):
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, p), jnp.float32),
-            jax.ShapeDtypeStruct((nt, p), jnp.int32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, p), jnp.int32),
         ],
         interpret=_should_interpret(),
-    )(counts, g_mean2d, g_conic, g_color, g_opac)
-    return acc, tfin, stop
+    )(counts, g_mean2d, g_conic, g_color, g_opac[:, :, None])
+    return acc, tfin[:, 0, :], stop[:, 0, :]
 
 
 def _bwd_call(res: _Res, g_acc, g_t, th, tw, ntx):
@@ -280,31 +341,33 @@ def _bwd_call(res: _Res, g_acc, g_t, th, tw, ntx):
             pl.BlockSpec((1, c, 2), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, c, 1), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 3, p), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, p), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3, p), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, c, 2), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, c, 1), lambda i, *_: (i, 0, 0)),
         ],
     )
-    return pl.pallas_call(
+    d_mean, d_conic, d_color, d_opac = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, c, 2), jnp.float32),
             jax.ShapeDtypeStruct((nt, c, 3), jnp.float32),
             jax.ShapeDtypeStruct((nt, c, 3), jnp.float32),
-            jax.ShapeDtypeStruct((nt, c), jnp.float32),
+            jax.ShapeDtypeStruct((nt, c, 1), jnp.float32),
         ],
         interpret=_should_interpret(),
-    )(res.counts, res.g_mean2d, res.g_conic, res.g_color, res.g_opac,
-      res.t_final, res.stop, g_acc, g_t)
+    )(res.counts, res.g_mean2d, res.g_conic, res.g_color, res.g_opac[:, :, None],
+      res.acc, res.t_final[:, None, :], res.stop[:, None, :], g_acc, g_t[:, None, :])
+    return d_mean, d_conic, d_color, d_opac[:, :, 0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -322,7 +385,7 @@ def composite_tiles_pallas(geom, g_mean2d, g_conic, g_color, g_opac, counts):
 def _pallas_fwd(geom, g_mean2d, g_conic, g_color, g_opac, counts):
     th, tw, ntx = geom
     acc, tfin, stop = _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx)
-    res = _Res(g_mean2d, g_conic, g_color, g_opac, counts, tfin, stop)
+    res = _Res(g_mean2d, g_conic, g_color, g_opac, counts, acc, tfin, stop)
     return (jnp.moveaxis(acc, 1, 2), tfin), res
 
 
