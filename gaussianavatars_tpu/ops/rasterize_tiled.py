@@ -92,8 +92,6 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig) -> 
     ntiles_per_g = bw * bh
 
     # Depth ranks: position of each Gaussian in global front-to-back order.
-    # Must fit the low bits of the packed key: rank < 2^22 ⇔ n ≤ 4.2M.
-    assert n < (1 << 22), "Gaussian capacity exceeds packed sort-key range"
     depth_key = jnp.where(proj.mask, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
@@ -107,16 +105,19 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig) -> 
     valid = (j < ntiles_per_g[:, None]) & proj.mask[:, None]
     tile_key = jnp.where(valid, tile, nt).astype(jnp.uint32)
 
-    if nt < (1 << 9):
-        # Fast path: one packed key (tile ≪ 22 | rank), one payload.
-        packed = (tile_key << 22) | jnp.broadcast_to(
+    # Adaptive key split: tile bits as needed, depth-rank bits with the rest.
+    tile_bits = max(int(nt + 1).bit_length(), 1)
+    rank_bits = 31 - tile_bits
+    if n <= (1 << rank_bits):
+        # Fast path: one packed key (tile ≪ rank_bits | rank), one payload.
+        packed = (tile_key << rank_bits) | jnp.broadcast_to(
             rank.astype(jnp.uint32)[:, None], tile_key.shape
         )
         flat_gidx = jnp.broadcast_to(
             jnp.arange(n, dtype=jnp.int32)[:, None], tile_key.shape
         ).reshape(-1)
         s_key, s_gidx = jax.lax.sort((packed.reshape(-1), flat_gidx), num_keys=1)
-        s_tile = (s_key >> 22).astype(jnp.int32)
+        s_tile = (s_key >> rank_bits).astype(jnp.int32)
     else:
         # Large tile grids: lexicographic two-key sort.
         flat_tile = tile_key.astype(jnp.int32).reshape(-1)
