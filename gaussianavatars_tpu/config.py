@@ -44,7 +44,7 @@ class PipelineConfig:
     tile_h: int = 32
     tile_w: int = 32
     capacity_per_tile: int = 1024
-    max_tiles_per_gaussian: int = 32
+    max_tiles_per_gaussian: int = 16
     use_pallas: bool = True         # pallas kernels on TPU, scan fallback elsewhere
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quaternion import quat_mul, quat_normalize
+from ..ops.quaternion import quat_mul, quat_normalize, quat_rotate
 from ..ops.sh import num_sh_coeffs, rgb_to_sh0
 
 SH_REST = num_sh_coeffs(3) - 1  # 15
@@ -106,12 +106,12 @@ def world_gaussians(
     else:
         b = aux.binding
         fs = frames.scaling[b]                       # [N, 1]
+        fq = frames.orien_quat[b]                    # [N, 4]
         scales = scales * fs
-        quats = quat_mul(frames.orien_quat[b], quats)
-        means = (
-            jnp.einsum("nij,nj->ni", frames.orien_mat[b], params.means) * fs
-            + frames.center[b]
-        )
+        # R_face·x via the (already gathered) face quaternion — avoids the
+        # [N, 3, 3] orien_mat gather + batched einsum (bad TPU layouts).
+        means = quat_rotate(fq, params.means) * fs + frames.center[b]
+        quats = quat_mul(fq, quats)
     return WorldGaussians(
         means=means, scales=scales, quats=quats, opacity=opacity,
         sh=params.sh, alive=aux.alive,

@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .quaternion import covariance_from_scaling_rotation
+from .quaternion import covariance_from_scaling_rotation, covariance_symm6_parts
 from ..data.cameras import Camera
 
 # Low-pass filter added to the 2D covariance diagonal: guarantees every
@@ -60,6 +60,19 @@ def project_gaussians(
       camera: the view.
       alive: optional [N] bool mask for padding Gaussians.
     """
+    cv = cov3d.astype(jnp.float32)
+    parts = (cv[..., 0, 0], cv[..., 0, 1], cv[..., 0, 2],
+             cv[..., 1, 1], cv[..., 1, 2], cv[..., 2, 2])
+    return _project_core(means3d, parts, camera, alive)
+
+
+def _project_core(
+    means3d: jnp.ndarray,
+    cov_parts,
+    camera: Camera,
+    alive: jnp.ndarray | None = None,
+) -> Projected:
+    """Shared projection core; covariance as six scalar arrays (SoA)."""
     f32 = jnp.float32
     means3d = means3d.astype(f32)
     w2v = camera.world_view.astype(f32)
@@ -96,19 +109,30 @@ def project_gaussians(
     # does not affect the image-plane footprint).
     #   J = [[fx/tz, 0, -fx·tx/tz²], [0, fy/tz, -fy·ty/tz²]]
     R = w2v[:3, :3]
-    # M = J @ R : [N, 2, 3]
+    # M = J @ R : two [N, 3] rows, kept as six scalar arrays (SoA — avoids
+    # [N, 2, 3]/[N, 3, 3] relayouts; everything below is fusable VPU work).
     j00 = fx * inv_tz
     j11 = fy * inv_tz
     j02 = -fx * tx * inv_tz * inv_tz
     j12 = -fy * ty * inv_tz * inv_tz
-    m0 = j00[..., None] * R[0] + j02[..., None] * R[2]  # [N, 3]
-    m1 = j11[..., None] * R[1] + j12[..., None] * R[2]
-    # cov2d entries: a = m0 Σ m0ᵀ, b = m0 Σ m1ᵀ, c = m1 Σ m1ᵀ
-    s0 = jnp.einsum("ni,nij->nj", m0, cov3d.astype(f32), precision=hi)
-    s1 = jnp.einsum("ni,nij->nj", m1, cov3d.astype(f32), precision=hi)
-    a = jnp.sum(s0 * m0, -1) + COV2D_FILTER
-    b = jnp.sum(s0 * m1, -1)
-    c = jnp.sum(s1 * m1, -1) + COV2D_FILTER
+    m00 = j00 * R[0, 0] + j02 * R[2, 0]
+    m01 = j00 * R[0, 1] + j02 * R[2, 1]
+    m02 = j00 * R[0, 2] + j02 * R[2, 2]
+    m10 = j11 * R[1, 0] + j12 * R[2, 0]
+    m11 = j11 * R[1, 1] + j12 * R[2, 1]
+    m12 = j11 * R[1, 2] + j12 * R[2, 2]
+    # cov2d entries: a = m0 Σ m0ᵀ, b = m0 Σ m1ᵀ, c = m1 Σ m1ᵀ with the
+    # symmetric Σ as scalar arrays.
+    c00, c01, c02, c11, c12, c22 = (p.astype(f32) for p in cov_parts)
+    s00 = m00 * c00 + m01 * c01 + m02 * c02
+    s01 = m00 * c01 + m01 * c11 + m02 * c12
+    s02 = m00 * c02 + m01 * c12 + m02 * c22
+    s10 = m10 * c00 + m11 * c01 + m12 * c02
+    s11 = m10 * c01 + m11 * c11 + m12 * c12
+    s12 = m10 * c02 + m11 * c12 + m12 * c22
+    a = s00 * m00 + s01 * m01 + s02 * m02 + COV2D_FILTER
+    b = s00 * m10 + s01 * m11 + s02 * m12
+    c = s10 * m10 + s11 * m11 + s12 * m12 + COV2D_FILTER
     cov2d = jnp.stack([a, b, c], axis=-1)
 
     det = a * c - b * b
@@ -139,6 +163,6 @@ def project_from_params(
     scale_modifier: float = 1.0,
     alive: jnp.ndarray | None = None,
 ) -> Projected:
-    """Convenience wrapper: build Σ from (scale, quaternion) then project."""
-    cov3d = covariance_from_scaling_rotation(scales * scale_modifier, quats)
-    return project_gaussians(means3d, cov3d, camera, alive=alive)
+    """Build Σ from (scale, quaternion) and project — all SoA, no [N,3,3]."""
+    parts = covariance_symm6_parts(scales * scale_modifier, quats)
+    return _project_core(means3d, parts, camera, alive=alive)

@@ -139,3 +139,36 @@ def symm6_to_covariance(s: jnp.ndarray) -> jnp.ndarray:
     row1 = jnp.stack([c01, c11, c12], -1)
     row2 = jnp.stack([c02, c12, c22], -1)
     return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def covariance_symm6_parts(scale: jnp.ndarray, q: jnp.ndarray):
+    """Σ = R S² Rᵀ as six scalar arrays (c00, c01, c02, c11, c12, c22).
+
+    SoA formulation of `covariance_from_scaling_rotation` — no [N, 3, 3]
+    intermediates, no batched 3×3 matmuls (tiny-dim dots relayout badly on
+    TPU); Σ_ij = Σ_k r_ik s_k² r_jk with everything as [N] vectors.
+    """
+    q = quat_normalize(q)
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    r00 = 1 - 2 * (yy + zz)
+    r01 = 2 * (xy - wz)
+    r02 = 2 * (xz + wy)
+    r10 = 2 * (xy + wz)
+    r11 = 1 - 2 * (xx + zz)
+    r12 = 2 * (yz - wx)
+    r20 = 2 * (xz - wy)
+    r21 = 2 * (yz + wx)
+    r22 = 1 - 2 * (xx + yy)
+    s0 = scale[..., 0] * scale[..., 0]
+    s1 = scale[..., 1] * scale[..., 1]
+    s2 = scale[..., 2] * scale[..., 2]
+    c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return c00, c01, c02, c11, c12, c22

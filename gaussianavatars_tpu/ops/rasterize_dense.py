@@ -22,7 +22,7 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from .projection import Projected, project_from_params
-from .sh import eval_sh_color
+from .sh import eval_sh_color_kc
 
 ALPHA_CUTOFF = 1.0 / 255.0
 ALPHA_MAX = 0.99
@@ -148,7 +148,7 @@ def render_dense(
         dirs = means3d - camera.camera_center
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
         # sh layout [N, K, 3] → eval wants [N, 3, K]
-        colors = eval_sh_color(jnp.swapaxes(sh, -1, -2), dirs, sh_degree)
+        colors = eval_sh_color_kc(sh, dirs, sh_degree)
 
     H, W = camera.height, camera.width
     order = composite_order(projected.depth, projected.mask)

@@ -46,7 +46,7 @@ from ..models.flame.flame_model import FlameModel, FlameParams
 from ..models.gaussians import world_gaussians
 from ..ops.projection import project_from_params
 from ..ops.rasterize_tiled import TileConfig, bin_gaussians, rasterize_binned
-from ..ops.sh import eval_sh_color
+from ..ops.sh import eval_sh_color_kc
 from ..training.loss import l1_loss, psnr, safe_norm, ssim
 from ..training.optim import adam_update
 from ..training.trainer import (
@@ -146,7 +146,7 @@ def make_sharded_train_step(
             proj = project_from_params(wg.means, wg.scales, wg.quats, cam, alive=wg.alive)
             dirs = wg.means - cam.camera_center
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-            colors = eval_sh_color(jnp.swapaxes(wg.sh, -1, -2), dirs, sh_degree)
+            colors = eval_sh_color_kc(wg.sh, dirs, sh_degree)
             opac = jnp.where(proj.mask, wg.opacity, 0.0)
             # Shift into this shard's row band (a sub-viewport).
             mean2d_local = proj.mean2d - jnp.concatenate(
@@ -156,9 +156,11 @@ def make_sharded_train_step(
 
         screen, vjp_geo, proj = jax.vjp(geometry, state.params, state.flame, has_aux=True)
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
+        # Pallas helper kernels need vma annotations under shard_map;
+        # the sharded step uses the plain-gather table build.
         binned = bin_gaussians(
             proj_sg._replace(mean2d=jax.lax.stop_gradient(screen[0])),
-            rows, W, tile_cfg,
+            rows, W, tile_cfg, pallas_table=False,
         )
 
         def image_loss(screen):

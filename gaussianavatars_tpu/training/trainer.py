@@ -35,7 +35,7 @@ from ..models.flame.flame_model import FlameModel, FlameParams
 from ..models.gaussians import GaussianAux, GaussianParams, world_gaussians
 from ..ops.projection import project_from_params
 from ..ops.rasterize_tiled import TileConfig, bin_gaussians, rasterize_binned, composite_tiles
-from ..ops.sh import eval_sh_color
+from ..ops.sh import eval_sh_color_kc
 from .innovations import (
     ColorNetParams,
     ContrastiveCache,
@@ -235,7 +235,7 @@ def make_train_step(
             )
             dirs = wg.means - camera.camera_center
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-            colors = eval_sh_color(jnp.swapaxes(wg.sh, -1, -2), dirs, sh_degree)
+            colors = eval_sh_color_kc(wg.sh, dirs, sh_degree)
             opac_eff = jnp.where(proj.mask, wg.opacity, 0.0)
             screen = (proj.mean2d, proj.conic, colors, opac_eff)
             return screen, (proj, verts, verts_cano, frames)
