@@ -26,7 +26,15 @@ from .readers import CameraRecord
 
 def decode_image(path: str, bg: np.ndarray, width: int, height: int) -> np.ndarray:
     """Decode one image to float32 [H, W, 3] in [0,1], compositing alpha
-    onto `bg` (`scene/__init__.py:44-63`)."""
+    onto `bg` (`scene/__init__.py:44-63`).
+
+    Uses the native decoder (libpng/libjpeg, `native/gsavatars_native.cpp`)
+    when available; PIL otherwise. Disable with GSAVATARS_NO_NATIVE=1."""
+    from .. import native
+
+    out = native.decode_image(path, width, height, bg)
+    if out is not None:
+        return out
     from PIL import Image, ImageFile
 
     ImageFile.LOAD_TRUNCATED_IMAGES = True  # reference `scene/__init__.py:28`
