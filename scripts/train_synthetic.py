@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Self-contained end-to-end system check: recover a known synthetic avatar.
+
+Renders a DynamicNerf-format dataset from a randomized reference avatar
+(real FLAME template topology when available), then trains a fresh model on
+it with the full production loop (densification, SH warm-up, eval) and
+reports PSNR against the generating avatar. A healthy run reaches
+~28-35 dB val PSNR in a few thousand iterations — if it does not, something
+in the render/grad/optimize chain is broken.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_t = "/root/reference/flame_model/assets/flame/head_template_mesh.obj"
+if os.path.exists(_t):
+    os.environ.setdefault("GSAVATARS_FLAME_TEMPLATE", _t)
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/gsav_synthetic")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--timesteps", type=int, default=10)
+    p.add_argument("--cameras", type=int, default=6)
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--capacity", type=int, default=65536)
+    p.add_argument("--per_face", type=int, default=2)
+    p.add_argument("--n_shape", type=int, default=50)
+    p.add_argument("--n_expr", type=int, default=20)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def build_reference_avatar(a):
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianavatars_tpu.models.flame import FlameConfig, FlameModel, synthetic_assets
+    from gaussianavatars_tpu.models.gaussians import init_bound, inverse_sigmoid
+
+    assets = synthetic_assets(n_shape=a.n_shape, n_expr=a.n_expr, seed=a.seed)
+    model = FlameModel(assets, FlameConfig(n_shape=a.n_shape, n_expr=a.n_expr,
+                                           add_teeth=True))
+    key = jax.random.PRNGKey(a.seed + 7)
+    params, aux = init_bound(model.num_faces, capacity=a.capacity, key=key,
+                             per_face=a.per_face)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = dataclasses.replace(
+        params,
+        means=jax.random.normal(k1, params.means.shape) * 0.15,
+        log_scales=jnp.log(jax.random.uniform(
+            k2, params.log_scales.shape, minval=0.3, maxval=0.8)),
+        quats=jax.random.normal(k3, params.quats.shape),
+        logit_opacity=jnp.full_like(params.logit_opacity,
+                                    float(inverse_sigmoid(0.9))),
+    )
+    return model, params, aux
+
+
+def write_dataset(a, model, params, aux):
+    import json
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gaussianavatars_tpu.data.cameras import look_at_camera
+    from gaussianavatars_tpu.models.binding import face_frames
+    from gaussianavatars_tpu.models.flame.flame_model import zero_params
+    from gaussianavatars_tpu.models.gaussians import world_gaussians
+    from gaussianavatars_tpu.ops.rasterize_tiled import TileConfig, render_tiled
+
+    root = a.workdir
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "flame_param"), exist_ok=True)
+    center = np.asarray(model.assets.v_template.mean(0))
+    extent = float(np.abs(np.asarray(model.assets.v_template) - center).max())
+    tcfg = TileConfig(32, 32, 512, 8)
+    rng = np.random.default_rng(a.seed)
+    frames_meta = []
+    for t in range(a.timesteps):
+        jaw = np.zeros((1, 3), np.float32)
+        jaw[0, 0] = 0.25 * t / max(a.timesteps - 1, 1)
+        expr = (rng.normal(size=(1, a.n_expr)) * 0.3).astype(np.float32)
+        np.savez(
+            os.path.join(root, "flame_param", f"{t}.npz"),
+            shape=np.zeros(a.n_shape, np.float32), expr=expr,
+            rotation=np.zeros((1, 3), np.float32),
+            neck_pose=np.zeros((1, 3), np.float32), jaw_pose=jaw,
+            eyes_pose=np.zeros((1, 6), np.float32),
+            translation=np.zeros((1, 3), np.float32),
+            static_offset=np.zeros((1, model.num_verts, 3), np.float32),
+        )
+        fl = zero_params(a.n_shape, a.n_expr, batch=1)._replace(
+            jaw=jnp.asarray(jaw), expr=jnp.asarray(expr))
+        verts = model.forward(fl)
+        fr = face_frames(verts[0], model.faces)
+        wg = world_gaussians(params, aux, fr)
+        for c in range(a.cameras):
+            ang = -0.5 + 1.0 * c / max(a.cameras - 1, 1)
+            eye = center + np.array([
+                np.sin(ang) * 4 * extent, 0.0, -np.cos(ang) * 4 * extent,
+            ])
+            cam = look_at_camera(eye=eye, target=center, fovy=0.5,
+                                 width=a.width, height=a.height)
+            out = render_tiled(
+                wg.means, wg.scales, wg.quats, wg.opacity, cam, jnp.zeros(3),
+                sh=wg.sh, sh_degree=0, alive=wg.alive, cfg=tcfg,
+                use_pallas=not a.no_pallas,
+            )
+            img = np.asarray(jnp.clip(out.color, 0, 1))
+            name = f"images/t{t:03d}_c{c}.png"
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(root, name))
+            w2c = np.eye(4)
+            w2c[:3, :] = np.asarray(cam.world_view)[:3, :]
+            c2w = np.linalg.inv(w2c)
+            c2w[:3, 1:3] *= -1
+            frames_meta.append({
+                "file_path": name, "transform_matrix": c2w.tolist(),
+                "timestep_index": t, "camera_index": c,
+                "camera_angle_x": float(cam.fovx),
+                "flame_param_path": f"flame_param/{t}.npz",
+                "w": a.width, "h": a.height,
+            })
+    train = [f for f in frames_meta if f["camera_index"] != 0]
+    val = [f for f in frames_meta if f["camera_index"] == 0]
+    for split, fr_list in (("train", train), ("val", val), ("test", val)):
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"frames": fr_list}, f)
+    print(f"dataset: {len(train)} train / {len(val)} val views at "
+          f"{a.width}x{a.height}, {a.timesteps} timesteps")
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    from gaussianavatars_tpu.config import (
+        Config, ModelConfig, OptimizationConfig, PipelineConfig,
+    )
+    from gaussianavatars_tpu.training.loop import build_harness, train
+    from gaussianavatars_tpu.models.flame import FlameConfig, FlameModel, synthetic_assets
+
+    ref_model, ref_params, ref_aux = build_reference_avatar(a)
+    if not os.path.exists(os.path.join(a.workdir, "transforms_train.json")):
+        write_dataset(a, ref_model, ref_params, ref_aux)
+    else:
+        print(f"reusing dataset at {a.workdir}")
+
+    cfg = Config(
+        model=ModelConfig(
+            source_path=a.workdir, model_path=os.path.join(a.workdir, "model"),
+            bind_to_mesh=True, capacity=a.capacity, n_shape=a.n_shape,
+            n_expr=a.n_expr, add_teeth=True, eval=True, sh_degree=3,
+        ),
+        pipeline=PipelineConfig(
+            tile_h=32, tile_w=32, capacity_per_tile=512,
+            max_tiles_per_gaussian=8, use_pallas=not a.no_pallas,
+        ),
+        opt=OptimizationConfig(
+            iterations=a.iterations,
+            position_lr_max_steps=a.iterations,
+            densify_from_iter=500, densify_until_iter=a.iterations,
+            densification_interval=250, opacity_reset_interval=10 * a.iterations,
+            lambda_scale=0.1,
+        ),
+    )
+    # Train model uses the same topology (synthetic assets are deterministic).
+    model = FlameModel(
+        synthetic_assets(n_shape=a.n_shape, n_expr=a.n_expr, seed=a.seed),
+        FlameConfig(n_shape=a.n_shape, n_expr=a.n_expr, add_teeth=True),
+    )
+    harness = build_harness(cfg, model=model)
+    logs = train(
+        harness, iterations=a.iterations, log_every=a.log_every,
+        eval_every=a.eval_every, save_iterations=[a.iterations],
+        checkpoint_iterations=[a.iterations], seed=a.seed,
+    )
+    print(f"first logged loss {logs[0]['loss']:.4f} → last {logs[-1]['loss']:.4f}; "
+          f"train psnr {logs[-1]['psnr']:.2f} dB; "
+          f"{logs[-1]['num_points']} Gaussians")
+    return logs
+
+
+if __name__ == "__main__":
+    main()
