@@ -127,3 +127,11 @@ def resolution_scaled(cam: Camera, scale: float) -> Camera:
         width=max(1, round(cam.width / scale)),
         height=max(1, round(cam.height / scale)),
     )
+
+
+def jit_static_key(cam: Camera) -> Camera:
+    """Strip per-view metadata (timestep/camera_id/image_name) that would
+    otherwise be part of the jit cache key — every distinct view would
+    retrace/recompile any jitted function taking the Camera. Use at every
+    jit boundary; pass the timestep as a traced argument instead."""
+    return dataclasses.replace(cam, timestep=0, camera_id=0, image_name="")

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..data.cameras import Camera
+from ..data.cameras import Camera, jit_static_key
 from ..data.pipeline import Prefetcher, load_view
 from ..data.scene import Scene
 from ..models.densify import (
@@ -244,7 +244,8 @@ def evaluate_split(
     psnrs, ssims = [], []
     for i in range(n):
         gt = jnp.asarray(load_view(recs[i], cams[i]))
-        img = render_fn(harness.state, cams[i], jnp.int32(cams[i].timestep), bg, sh_degree)
+        img = render_fn(harness.state, jit_static_key(cams[i]),
+                        jnp.int32(cams[i].timestep), bg, sh_degree)
         img = jnp.clip(img, 0.0, 1.0)
         psnrs.append(float(psnr_fn(img, gt)))
         ssims.append(float(ssim_fn(
@@ -359,7 +360,8 @@ def train(
             cam = scene.cameras("train", div)[v]
             sh_deg = active_sh_degree(it, cfg.model.sh_degree)
             out = step(
-                harness.state, gt[0], cam, jnp.int32(cam.timestep), bg, sh_deg
+                harness.state, gt[0], jit_static_key(cam),
+                jnp.int32(cam.timestep), bg, sh_deg,
             )
             harness.state = out.state
             metrics = out.metrics

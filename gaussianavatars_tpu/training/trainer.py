@@ -184,8 +184,10 @@ def make_train_step(
     tile_cfg: TileConfig,
     spatial_lr_scale: float = 1.0,
     compositor=None,
+    jit: bool = True,
 ):
-    """Build the jitted train step.
+    """Build the jitted train step (or the raw body with `jit=False`, used
+    by `make_train_scan`).
 
     Static across calls: model topology, configs, tile geometry, image size
     (from the Camera's static fields), and sh_degree.
@@ -199,7 +201,6 @@ def make_train_step(
         if use_flame else {}
     )
 
-    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
     def train_step(
         state: TrainState,
         gt_image: jnp.ndarray,     # [H, W, 3]
@@ -389,7 +390,48 @@ def make_train_step(
         )
         return StepOutput(state=new_state, metrics=metrics, image=img)
 
+    if jit:
+        return jax.jit(
+            train_step, static_argnames=("sh_degree",), donate_argnums=(0,)
+        )
     return train_step
+
+
+def stack_cameras(cams):
+    """Stack same-resolution Camera pytrees along a new leading axis (static
+    fields must match; they are taken from the first camera)."""
+    c0 = cams[0]
+    for c in cams:
+        assert (c.width, c.height) == (c0.width, c0.height), "mixed resolutions"
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def make_train_scan(
+    model: Optional[FlameModel],
+    cfg: Config,
+    tile_cfg: TileConfig,
+    spatial_lr_scale: float = 1.0,
+):
+    """K train steps per dispatch via `lax.scan` — amortises host/tunnel
+    per-call overhead (the reference pays one CUDA launch sequence per
+    iteration; here one XLA program runs a whole chunk).
+
+    Call: scan_fn(state, gt [K,H,W,3], cams (stacked Camera), timesteps [K],
+    bg [3], sh_degree) → (state, metrics dict of [K] arrays).
+    """
+    step = make_train_step(model, cfg, tile_cfg, spatial_lr_scale, jit=False)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
+    def scan_fn(state, gt, cams, timesteps, bg, sh_degree):
+        def body(st, xs):
+            g, cam, ts = xs
+            out = step(st, g, cam, ts, bg, sh_degree)
+            return out.state, out.metrics
+
+        new_state, metrics = jax.lax.scan(body, state, (gt, cams, timesteps))
+        return new_state, metrics
+
+    return scan_fn
 
 
 def active_sh_degree(iteration: int, max_degree: int = 3) -> int:

@@ -130,9 +130,11 @@ def main(argv=None):
         cams = scene.cameras(split)
         recs = scene.records(split)
         n = len(cams) if a.n_frames <= 0 else min(a.n_frames, len(cams))
+        from gaussianavatars_tpu.data.cameras import jit_static_key
+
         for i in range(n):
             img = np.asarray(render_fn(
-                state, cams[i], jnp.int32(cams[i].timestep), bg,
+                state, jit_static_key(cams[i]), jnp.int32(cams[i].timestep), bg,
                 cfg.model.sh_degree,
             ))
             gt = load_view(recs[i], cams[i])
