@@ -45,7 +45,8 @@ from ..training import innovations
 from ..training.checkpoint import save_train_state, load_train_state
 from ..training.loss import psnr as psnr_fn, ssim as ssim_fn
 from ..training.trainer import (
-    TrainState, active_sh_degree, init_train_state, make_train_step,
+    TrainState, active_sh_degree, init_train_state, make_train_scan,
+    make_train_step,
 )
 
 
@@ -306,6 +307,33 @@ def opacity_reset_event(harness: TrainerHarness) -> None:
     )
 
 
+class DeviceGtCache:
+    """All ground-truth views resident on device as uint8 (upload once).
+
+    Remote/tunnelled TPUs pay seconds per multi-MB host→device transfer;
+    streaming one image per step starves the chip. For datasets under
+    `max_bytes` the whole split is shipped once and sliced on device
+    (uint8 → 4× smaller than f32; the step converts for free)."""
+
+    def __init__(self, records, cameras, max_bytes: int = 4 << 30,
+                 batch_decode: int = 64):
+        h, w = cameras[0].height, cameras[0].width
+        n = len(records)
+        if n * h * w * 3 > max_bytes:
+            raise MemoryError("dataset too large for device GT cache")
+        chunks = []
+        for i in range(0, n, batch_decode):
+            imgs = np.stack([
+                load_view(records[j], cameras[j])
+                for j in range(i, min(i + batch_decode, n))
+            ])
+            chunks.append((np.clip(imgs, 0.0, 1.0) * 255).astype(np.uint8))
+        self.data = jax.device_put(np.concatenate(chunks, 0))
+
+    def get(self, view: int) -> jnp.ndarray:
+        return self.data[view].astype(jnp.float32) / 255.0
+
+
 def train(
     harness: TrainerHarness,
     iterations: Optional[int] = None,
@@ -317,8 +345,17 @@ def train(
     on_step: Optional[Callable[[int, dict], None]] = None,
     seed: int = 0,
     prefetch_workers: int = 4,
+    device_cache_bytes: int = 4 << 30,
+    steps_per_call: int = 1,
 ) -> List[dict]:
-    """Run the loop. Returns the logged metric dicts."""
+    """Run the loop. Returns the logged metric dicts.
+
+    `steps_per_call` > 1 dispatches chunks of steps as one jitted
+    `lax.scan` (requires the device GT cache) — essential on remote /
+    tunnelled TPUs where each dispatch costs ~1s, and still removes host
+    overhead on local hardware. Chunks never cross an event boundary
+    (densify, opacity reset, eval, save, log, SH warm-up), so results are
+    identical to single-stepping."""
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
     iterations = iterations if iterations is not None else o.iterations
@@ -326,18 +363,34 @@ def train(
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
 
     steps: Dict[float, Callable] = {}
-    prefetchers: Dict[float, Prefetcher] = {}
+    scans: Dict[float, Callable] = {}
+    sources: Dict[float, object] = {}
+    samplers: Dict[float, object] = {}
 
     def step_for(scale: float):
         if scale not in steps:
             steps[scale] = make_train_step(
                 model, cfg, tcfg, spatial_lr_scale=harness.spatial_lr_scale
             )
-            prefetchers[scale] = Prefetcher(
-                scene.records("train"), scene.cameras("train", scale),
-                seed=seed, workers=prefetch_workers,
-            )
-        return steps[scale], prefetchers[scale]
+            if steps_per_call > 1:
+                scans[scale] = make_train_scan(
+                    model, cfg, tcfg, spatial_lr_scale=harness.spatial_lr_scale
+                )
+            recs = scene.records("train")
+            cams = scene.cameras("train", scale)
+            try:
+                sources[scale] = DeviceGtCache(
+                    recs, cams, max_bytes=device_cache_bytes
+                )
+                from ..data.pipeline import EpochSampler
+
+                samplers[scale] = iter(EpochSampler(len(recs), seed))
+            except MemoryError:
+                sources[scale] = Prefetcher(
+                    recs, cams, seed=seed, workers=prefetch_workers,
+                )
+                samplers[scale] = None
+        return steps[scale], scans.get(scale), sources[scale], samplers[scale]
 
     render_fn = make_render_fn(model, cfg, tcfg)
     logs: List[dict] = []
@@ -345,8 +398,26 @@ def train(
     t0 = time.time()
     writer = _maybe_tensorboard(cfg.model.model_path)
 
+    def next_boundary(i: int) -> int:
+        """Last iteration of the chunk starting at i (inclusive): the nearest
+        event the host must act on."""
+        cands = [iterations, i + steps_per_call - 1]
+        for interval in (log_every, o.densification_interval,
+                         o.opacity_reset_interval, eval_every or 0, 1000):
+            if interval and interval > 0:
+                cands.append(((i + interval - 1) // interval) * interval)
+        for s in list(save_iterations) + list(checkpoint_iterations):
+            if s >= i:
+                cands.append(s)
+        if o.use_progressive_resolution:
+            for m in o.resolution_milestones:
+                if m >= i:
+                    cands.append(m)
+        return max(min(c for c in cands if c >= i), i)
+
     try:
-        for it in range(harness.start_iteration + 1, iterations + 1):
+        it = harness.start_iteration + 1
+        while it <= iterations:
             if o.use_progressive_resolution:
                 img_scale = innovations.resolution_scale_at(
                     it, o.resolution_schedule, o.resolution_milestones
@@ -354,17 +425,38 @@ def train(
                 div = 1.0 / img_scale
             else:
                 div = 1.0
-            step, pf = step_for(div)
-            views, gt = pf.next()
-            v = views[0]
-            cam = scene.cameras("train", div)[v]
+            step, scan_fn, source, sampler = step_for(div)
             sh_deg = active_sh_degree(it, cfg.model.sh_degree)
-            out = step(
-                harness.state, gt[0], jit_static_key(cam),
-                jnp.int32(cam.timestep), bg, sh_deg,
-            )
-            harness.state = out.state
-            metrics = out.metrics
+            end = next_boundary(it)
+            k = end - it + 1
+            cams_all = scene.cameras("train", div)
+            if k > 1 and scan_fn is not None and sampler is not None:
+                from ..training.trainer import stack_cameras
+
+                views = [int(next(sampler)) for _ in range(k)]
+                gts = source.data[jnp.asarray(views)].astype(jnp.float32) / 255.0
+                cams = stack_cameras([jit_static_key(cams_all[v]) for v in views])
+                ts = jnp.asarray([cams_all[v].timestep for v in views], jnp.int32)
+                harness.state, m_all = scan_fn(
+                    harness.state, gts, cams, ts, bg, sh_deg
+                )
+                metrics = jax.tree_util.tree_map(lambda x: x[-1], m_all)
+                it = end
+            else:
+                if sampler is not None:                 # device-resident cache
+                    v = int(next(sampler))
+                    gt0 = source.get(v)
+                else:                                   # streaming prefetcher
+                    views, gt = source.next()
+                    v = views[0]
+                    gt0 = gt[0]
+                cam = cams_all[v]
+                out = step(
+                    harness.state, gt0, jit_static_key(cam),
+                    jnp.int32(cam.timestep), bg, sh_deg,
+                )
+                harness.state = out.state
+                metrics = out.metrics
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
@@ -424,9 +516,11 @@ def train(
                     os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
                     harness.state, it,
                 )
+            it += 1
     finally:
-        for pf in prefetchers.values():
-            pf.close()
+        for src_ in sources.values():
+            if isinstance(src_, Prefetcher):
+                src_.close()
         if writer:
             writer.close()
     return logs

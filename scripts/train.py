@@ -67,6 +67,8 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_call", type=int, default=50,
+                   help="train steps per jitted dispatch (lax.scan chunks)")
     return p.parse_args(argv)
 
 
@@ -160,6 +162,7 @@ def main(argv=None):
         checkpoint_iterations=ckpts,
         on_step=on_step,
         seed=a.seed,
+        steps_per_call=a.steps_per_call,
     )
 
 

@@ -39,6 +39,7 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--steps_per_call", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -185,6 +186,7 @@ def main(argv=None):
         harness, iterations=a.iterations, log_every=a.log_every,
         eval_every=a.eval_every, save_iterations=[a.iterations],
         checkpoint_iterations=[a.iterations], seed=a.seed,
+        steps_per_call=a.steps_per_call,
     )
     print(f"first logged loss {logs[0]['loss']:.4f} → last {logs[-1]['loss']:.4f}; "
           f"train psnr {logs[-1]['psnr']:.2f} dB; "

@@ -124,3 +124,19 @@ def test_train_cli_parse():
     cfg = train_mod.config_from_args(a)
     assert cfg.opt.use_region_adaptive_loss and cfg.opt.use_contrastive_reg
     assert cfg.opt.iterations == 1000 and cfg.model.bind_to_mesh
+
+
+def test_scan_chunks_match_single_step(rendered_dataset, flame_model):
+    """steps_per_call>1 (lax.scan chunks) must reproduce single-stepping."""
+    cfg = _config(rendered_dataset)
+    h1 = build_harness(cfg, model=flame_model)
+    l1 = train(h1, iterations=12, log_every=4, eval_every=0, prefetch_workers=2,
+               steps_per_call=1, seed=3)
+    h2 = build_harness(cfg, model=flame_model)
+    l2 = train(h2, iterations=12, log_every=4, eval_every=0, prefetch_workers=2,
+               steps_per_call=4, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(h2.state.params.means), np.asarray(h1.state.params.means),
+        atol=1e-5,
+    )
+    assert abs(l2[-1]["loss"] - l1[-1]["loss"]) < 1e-4
