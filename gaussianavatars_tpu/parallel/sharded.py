@@ -28,6 +28,27 @@ Collective bookkeeping (the part worth reading twice):
 
 One camera per data-group per step keeps recipe parity with the reference
 (batch = 1 camera, `train.py:116-124`); data>1 is a batched generalisation.
+
+Gaussian-axis sharding (``gauss_shard=True``) makes the 'tile' axis dual-role:
+
+  * **Geometry phase** — each device slices its 1/k band of the Gaussian
+    capacity axis and runs world composition, EWA projection and SH→RGB on
+    that slice only (the O(N) per-splat FLOPs shard k-ways).
+  * One ``all_gather`` over 'tile' of the *compact screen-space attributes*
+    (mean2d, conic, rgb, opacity, depth — 10 floats/splat vs 59 for raw
+    params+SH) restores the full set in original order.
+  * **Compositing phase** — the same device then bins/composites its row
+    band as before. Both heavy phases are sharded k-ways with one gather
+    between them; its transpose (`psum_scatter`) routes each device exactly
+    its slice's cotangents back, so gradients and densification statistics
+    are bit-identical to the replicated path (asserted in tests).
+
+Why a gather and not explicit ring streaming: alpha compositing is
+depth-order-dependent, so a ring pass over Gaussian shards would need a
+k-way sorted merge per tile with full-capacity buffers — erasing the memory
+win. XLA already lowers ``all_gather`` as a bidirectional ring over ICI, so
+the gather IS the ring, with the sorted merge done once by the global
+binning sort.
 """
 from __future__ import annotations
 
@@ -97,12 +118,17 @@ def make_sharded_train_step(
     mesh: Mesh,
     template_camera: Camera,
     spatial_lr_scale: float = 1.0,
+    gauss_shard: bool = False,
 ):
     """Build the jitted sharded train step.
 
     Call: step(state, cams: CameraBatch, gt [B, H_pad, W, 3], bg [3],
     sh_degree=...). State is replicated; cams/gt sharded over ('data',) and
     ('data','tile') respectively. Returns (state, metrics).
+
+    With ``gauss_shard`` the per-Gaussian geometry work (world composition,
+    projection, SH) is additionally sharded over 'tile' (see module
+    docstring); requires capacity % n_tile == 0.
     """
     o = cfg.opt
     use_flame = model is not None
@@ -142,13 +168,36 @@ def make_sharded_train_step(
                 frames = face_frames(verts[0], faces)
             else:
                 frames = None
-            wg = world_gaussians(params, state.aux, frames)
+            if gauss_shard:
+                # Dual-role axis: this device owns Gaussians [off, off+chunk).
+                cap = params.means.shape[0]
+                assert cap % n_tile == 0, (
+                    f"gauss_shard needs capacity ({cap}) divisible by n_tile ({n_tile})"
+                )
+                chunk = cap // n_tile
+                off = tile_idx * chunk
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(x, off, chunk, axis=0)
+                p_dev = jax.tree_util.tree_map(sl, params)
+                aux_dev = jax.tree_util.tree_map(sl, state.aux)
+            else:
+                p_dev, aux_dev = params, state.aux
+            wg = world_gaussians(p_dev, aux_dev, frames)
             proj = project_from_params(wg.means, wg.scales, wg.quats, cam, alive=wg.alive)
             dirs = wg.means - cam.camera_center
             dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
             colors = eval_sh_color_kc(wg.sh, dirs, sh_degree)
             opac = jnp.where(proj.mask, wg.opacity, 0.0)
-            # Shift into this shard's row band (a sub-viewport).
+            if gauss_shard:
+                # One gather of the compact screen attributes restores the
+                # full set in original order; its VJP (psum_scatter) hands
+                # each device back exactly its slice's cotangents. Int/bool
+                # fields ride along grad-free.
+                gather = lambda x: jax.lax.all_gather(x, "tile", axis=0, tiled=True)
+                proj = jax.tree_util.tree_map(gather, proj)
+                colors = gather(colors)
+                opac = gather(opac)
+            # Shift into this shard's row band (a sub-viewport). Must happen
+            # AFTER the gather — y0 differs per device.
             mean2d_local = proj.mean2d - jnp.concatenate(
                 [jnp.zeros((1,)), y0[None]]
             )[None, :]
@@ -186,14 +235,20 @@ def make_sharded_train_step(
         # Per-camera pixel-space mean2d grad: undo the data-pmean factor.
         g_cam = jax.lax.psum(g_screen[0], "tile") * n_data
         vis = proj_sg.radius > 0
+        radius_f = jnp.where(vis, proj_sg.radius.astype(jnp.float32), 0.0)
+        if gauss_shard:
+            # After the gather these are value-identical across 'tile', but
+            # their vma type still reads "varying" (the type system can't see
+            # through the gather); an exact pmax re-types them invariant so
+            # the replicated-state outputs typecheck.
+            vis = jax.lax.pmax(vis.astype(jnp.int32), "tile") > 0
+            radius_f = jax.lax.pmax(radius_f, "tile")
         gn = jnp.linalg.norm(
             g_cam * jnp.array([[W * 0.5, H * 0.5]], g_cam.dtype), axis=-1
         )
         d_accum = jax.lax.psum(jnp.where(vis, gn, 0.0), "data")
         d_denom = jax.lax.psum(vis.astype(jnp.float32), "data")
-        d_radii = jax.lax.pmax(
-            jnp.where(vis, proj_sg.radius.astype(jnp.float32), 0.0), "data"
-        )
+        d_radii = jax.lax.pmax(radius_f, "data")
         aux_new = dataclasses.replace(
             state.aux,
             grad_accum=state.aux.grad_accum + d_accum,

@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--capacity", type=int, default=131072)
     p.add_argument("--meshes", type=str, default="",
                    help="comma list like 1x1,1x2,2x2,1x8 (data x tile)")
+    p.add_argument("--gauss_shard", action="store_true",
+                   help="also shard per-Gaussian geometry over the tile axis")
     return p.parse_args(argv)
 
 
@@ -99,7 +101,9 @@ def main(argv=None):
             cfg, num_timesteps=max(2, data), n_expr=50, n_shape=100,
             num_verts=model.num_verts,
         )
-        step = make_sharded_train_step(model, cfg, tile_cfg, mesh, cam0)
+        step = make_sharded_train_step(
+            model, cfg, tile_cfg, mesh, cam0, gauss_shard=a.gauss_shard
+        )
         cams = camera_batch([dataclasses.replace(cam0, timestep=i % 2)
                              for i in range(data)])
         gt = pad_gt_for_mesh(

@@ -96,6 +96,69 @@ def test_sharded_data_parallel_runs():
     assert float(metrics2["loss"]) < float(metrics["loss"]) * 1.5
 
 
+def test_gauss_shard_matches_single_chip():
+    """Dual-role axis: geometry sharded over Gaussians, compositing over rows."""
+    params, aux, cam, gt = unbound_setup(cap=64)  # chunk = 8 per device
+    cfg = Config()
+    mesh = make_device_mesh(data=1, tile=8)
+
+    state_a = init_train_state(params, aux, cfg)
+    params2, aux2, _, _ = unbound_setup(cap=64)
+    state_b = init_train_state(params2, aux2, cfg)
+
+    step1 = make_train_step(None, cfg, TILE)
+    out = step1(state_a, gt, cam, jnp.int32(0), jnp.zeros(3), sh_degree=0)
+
+    stepN = make_sharded_train_step(None, cfg, TILE, mesh, cam, gauss_shard=True)
+    hp = padded_height(cam.height, TILE.tile_h, 8)
+    gt_b = pad_gt_for_mesh(gt[None], hp)
+    new_state, metrics = stepN(state_b, camera_batch([cam]), gt_b, jnp.zeros(3), sh_degree=0)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(out.metrics["loss"]), rtol=1e-4
+    )
+    for name in ["means", "log_scales", "quats", "logit_opacity", "sh_dc"]:
+        a = np.asarray(getattr(out.state.params, name))
+        b = np.asarray(getattr(new_state.params, name))
+        np.testing.assert_allclose(b, a, atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(new_state.aux.grad_accum),
+        np.asarray(out.state.aux.grad_accum),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.aux.denom), np.asarray(out.state.aux.denom)
+    )
+
+
+def test_gauss_shard_flame_bound_runs():
+    """FLAME-bound + gauss_shard over a (data=2, tile=4) mesh updates FLAME."""
+    assets = synthetic_assets(n_shape=8, n_expr=4, seed=0)
+    model = FlameModel(assets, FlameConfig(n_shape=8, n_expr=4, add_teeth=False))
+    params, aux = init_bound(model.num_faces, capacity=1 << 14, key=jax.random.PRNGKey(0))
+    center = np.asarray(assets.v_template.mean(0))
+    extent = float(np.abs(assets.v_template - center).max())
+    cam = look_at_camera(
+        eye=center + np.array([0, 0, -4 * extent]), target=center, fovy=0.5,
+        width=32, height=32,
+    )
+    cfg = Config()
+    mesh = make_device_mesh(data=2, tile=4)
+    state = init_train_state(
+        params, aux, cfg, num_timesteps=2, n_expr=4, n_shape=8,
+        num_verts=model.num_verts,
+    )
+    expr_before = np.asarray(state.flame.expr)
+    stepN = make_sharded_train_step(model, cfg, TILE, mesh, cam, gauss_shard=True)
+    hp = padded_height(cam.height, TILE.tile_h, 4)
+    gt = jnp.tile(jnp.array([0.2, 0.2, 0.2]), (cam.height, cam.width, 1))
+    cams = camera_batch([cam, dataclasses.replace(cam, timestep=1)])
+    gt_b = pad_gt_for_mesh(jnp.stack([gt, gt]), hp)
+    state, metrics = stepN(state, cams, gt_b, jnp.zeros(3), sh_degree=0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.abs(np.asarray(state.flame.expr) - expr_before).sum() > 0
+
+
 def test_sharded_flame_bound_runs():
     assets = synthetic_assets(n_shape=8, n_expr=4, seed=0)
     model = FlameModel(assets, FlameConfig(n_shape=8, n_expr=4, add_teeth=False))
