@@ -62,7 +62,8 @@ class Binned(NamedTuple):
 
 
 def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
-                  pallas_table: bool = True) -> Binned:
+                  pallas_table: bool = True,
+                  opacity: Optional[jnp.ndarray] = None) -> Binned:
     """Assign Gaussians to image tiles, front-to-back within each tile.
 
     All integer bookkeeping; wrapped in stop_gradient by callers.
@@ -73,6 +74,14 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     rather than scattering sorted entries into slots. Depth ordering rides in
     the low bits of a single packed uint32 sort key (tile ≪ 22 | depth-rank),
     replacing the CUDA radix sort over 64-bit (tile, depth) keys.
+
+    With ``opacity`` (the same values the compositor will use), the bbox is
+    the exact axis-aligned box of the alpha-cutoff ellipse
+    {q ≤ τ = 2·ln(opac/α_cutoff)} — half-extents √(τ·Σxx), √(τ·Σyy) —
+    intersected with the reference's 3σ circle. Every dropped (tile,
+    Gaussian) pair has alpha < cutoff over the whole tile, so the composited
+    image is bit-identical while sort pairs and tile occupancy shrink
+    (substantially for anisotropic or low-opacity splats).
     """
     nty, ntx = cfg.grid(height, width)
     nt = nty * ntx
@@ -82,12 +91,20 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     mx = proj.mean2d[:, 0]
     my = proj.mean2d[:, 1]
     r = proj.radius.astype(jnp.float32)
+    if opacity is not None:
+        tau = 2.0 * jnp.log(
+            jnp.maximum(opacity, ALPHA_CUTOFF) * (1.0 / ALPHA_CUTOFF)
+        )
+        hx = jnp.minimum(r, jnp.sqrt(tau * jnp.maximum(proj.cov2d[:, 0], 0.0)))
+        hy = jnp.minimum(r, jnp.sqrt(tau * jnp.maximum(proj.cov2d[:, 2], 0.0)))
+    else:
+        hx = hy = r
 
     # Tile-space bbox (min inclusive, max exclusive), clipped to the grid.
-    tminx = jnp.clip(jnp.floor((mx - r) / cfg.tile_w).astype(jnp.int32), 0, ntx)
-    tmaxx = jnp.clip(jnp.floor((mx + r) / cfg.tile_w).astype(jnp.int32) + 1, 0, ntx)
-    tminy = jnp.clip(jnp.floor((my - r) / cfg.tile_h).astype(jnp.int32), 0, nty)
-    tmaxy = jnp.clip(jnp.floor((my + r) / cfg.tile_h).astype(jnp.int32) + 1, 0, nty)
+    tminx = jnp.clip(jnp.floor((mx - hx) / cfg.tile_w).astype(jnp.int32), 0, ntx)
+    tmaxx = jnp.clip(jnp.floor((mx + hx) / cfg.tile_w).astype(jnp.int32) + 1, 0, ntx)
+    tminy = jnp.clip(jnp.floor((my - hy) / cfg.tile_h).astype(jnp.int32), 0, nty)
+    tmaxy = jnp.clip(jnp.floor((my + hy) / cfg.tile_h).astype(jnp.int32) + 1, 0, nty)
     bw = tmaxx - tminx
     bh = tmaxy - tminy
     ntiles_per_g = bw * bh
@@ -406,8 +423,11 @@ def render_tiled(
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
         colors = eval_sh_color_kc(sh, dirs, sh_degree)
 
+    opac_eff = jnp.where(proj.mask, opacity, 0.0)
     binned = bin_gaussians(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, proj), camera.height, camera.width, cfg
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+        camera.height, camera.width, cfg,
+        opacity=jax.lax.stop_gradient(opac_eff),
     )
     if compositor is None:
         if use_pallas:
@@ -417,7 +437,6 @@ def render_tiled(
             compositor = make_pallas_compositor(binned.counts, cfg.tile_h, cfg.tile_w, ntx)
         else:
             compositor = composite_tiles
-    opac_eff = jnp.where(proj.mask, opacity, 0.0)
     img, alpha = rasterize_binned(
         proj.mean2d, proj.conic, colors, opac_eff, binned,
         camera.height, camera.width, bg_color, cfg, compositor=compositor,

@@ -210,6 +210,7 @@ def make_sharded_train_step(
         binned = bin_gaussians(
             proj_sg._replace(mean2d=jax.lax.stop_gradient(screen[0])),
             rows, W, tile_cfg, pallas_table=False,
+            opacity=jax.lax.stop_gradient(screen[3]),
         )
 
         def image_loss(screen):

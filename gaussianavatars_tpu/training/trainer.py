@@ -246,7 +246,10 @@ def make_train_step(
         )
         proj, verts, verts_cano, frames = geo_aux
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        binned = bin_gaussians(proj_sg, H, W, tile_cfg)
+        binned = bin_gaussians(
+            proj_sg, H, W, tile_cfg,
+            opacity=jax.lax.stop_gradient(screen[3]),
+        )
         if compositor is None:
             if cfg.pipeline.use_pallas:
                 from ..ops.pallas.composite import make_pallas_compositor

@@ -54,6 +54,38 @@ def test_binning_counts_match_bruteforce():
     np.testing.assert_array_equal(np.asarray(binned.counts), counts)
 
 
+def test_tight_binning_exact_and_smaller():
+    """Opacity-aware cutoff-ellipse bboxes drop only zero-alpha pairs: the
+    rendered image is identical while binned pair counts shrink."""
+    cam = make_cam()
+    means, scales, quats, opacity, colors = make_scene(200, seed=7)
+    # Anisotropic splats + a low-opacity band make the tight box bite.
+    scales = scales.at[:, 0].mul(6.0)
+    opacity = opacity.at[:100].mul(0.05)
+    proj = project_from_params(means, scales, quats, cam)
+    opac_eff = jnp.where(proj.mask, opacity, 0.0)
+
+    loose = bin_gaussians(proj, cam.height, cam.width, CFG)
+    tight = bin_gaussians(proj, cam.height, cam.width, CFG, opacity=opac_eff)
+    n_loose = int(jnp.sum(loose.counts))
+    n_tight = int(jnp.sum(tight.counts))
+    assert n_tight < n_loose, (n_tight, n_loose)
+
+    from gaussianavatars_tpu.ops.rasterize_tiled import rasterize_binned
+
+    bg = jnp.array([0.2, 0.3, 0.1])
+    img_l, a_l = rasterize_binned(
+        proj.mean2d, proj.conic, colors, opac_eff, loose,
+        cam.height, cam.width, bg, CFG,
+    )
+    img_t, a_t = rasterize_binned(
+        proj.mean2d, proj.conic, colors, opac_eff, tight,
+        cam.height, cam.width, bg, CFG,
+    )
+    np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_l))
+    np.testing.assert_array_equal(np.asarray(a_t), np.asarray(a_l))
+
+
 def test_binning_depth_sorted_within_tile():
     cam = make_cam()
     means, scales, quats, opacity, colors = make_scene(150, seed=3)
