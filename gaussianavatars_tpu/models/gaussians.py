@@ -155,7 +155,10 @@ def init_bound(
         quats=jnp.zeros((capacity, 4)).at[:, 0].set(1.0),
         sh_dc=rgb_to_sh0(colors)[:, None, :],
         sh_rest=jnp.zeros((capacity, SH_REST, 3)),
-        logit_opacity=jnp.full((capacity, 1), inverse_sigmoid(0.1)),
+        # Explicit dtype: jnp.full with a python float makes a weak-typed
+        # array; the first train step strengthens it, changing the jit cache
+        # key and silently recompiling every jitted step on its 2nd call.
+        logit_opacity=jnp.full((capacity, 1), inverse_sigmoid(0.1), jnp.float32),
     )
     binding = jnp.tile(jnp.arange(num_faces, dtype=jnp.int32), per_face)
     binding = jnp.concatenate(

@@ -331,7 +331,9 @@ class DeviceGtCache:
         self.data = jax.device_put(np.concatenate(chunks, 0))
 
     def get(self, view: int) -> jnp.ndarray:
-        return self.data[view].astype(jnp.float32) / 255.0
+        # Multiply (not divide): must stay bitwise-identical to the in-body
+        # conversion in make_train_scan under any XLA fusion/rewrite.
+        return self.data[view].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
 
 
 def train(
@@ -434,11 +436,11 @@ def train(
                 from ..training.trainer import stack_cameras
 
                 views = [int(next(sampler)) for _ in range(k)]
-                gts = source.data[jnp.asarray(views)].astype(jnp.float32) / 255.0
                 cams = stack_cameras([jit_static_key(cams_all[v]) for v in views])
                 ts = jnp.asarray([cams_all[v].timestep for v in views], jnp.int32)
                 harness.state, m_all = scan_fn(
-                    harness.state, gts, cams, ts, bg, sh_deg
+                    harness.state, source.data, jnp.asarray(views, jnp.int32),
+                    cams, ts, bg, sh_deg,
                 )
                 metrics = jax.tree_util.tree_map(lambda x: x[-1], m_all)
                 it = end

@@ -132,12 +132,23 @@ def init_train_state(
             cfg.opt.contrastive_cache_size, image_hw[0], image_hw[1],
             cfg.opt.contrastive_downsample,
         )
-    return TrainState(
+    state = TrainState(
         params=params, aux=aux, adam=adam_init(params),
         flame=flame, flame_static=flame_static, flame_adam=flame_adam,
         color_net=color_net, color_adam=color_adam, contrastive=contrastive,
         key=key,
     )
+
+    # Strengthen weak-typed leaves (e.g. anything built by jnp.full with a
+    # python float). A weak-typed input leaf becomes strong after one train
+    # step, which changes the jit cache key and silently RECOMPILES every
+    # jitted step on its second call (~40 s on the tunnel TPU).
+    def _strengthen(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.number):
+            return jnp.asarray(x).astype(x.dtype)
+        return x
+
+    return jax.tree_util.tree_map(_strengthen, state)
 
 
 def gaussian_lr_tree(params: GaussianParams, step, cfg: Config, spatial_lr_scale: float):
@@ -419,19 +430,36 @@ def make_train_scan(
     per-call overhead (the reference pays one CUDA launch sequence per
     iteration; here one XLA program runs a whole chunk).
 
-    Call: scan_fn(state, gt [K,H,W,3], cams (stacked Camera), timesteps [K],
+    Call: scan_fn(state, gt_cache [V,H,W,3] (uint8 or float, device
+    resident), views [K] int32, cams (stacked Camera), timesteps [K],
     bg [3], sh_degree) → (state, metrics dict of [K] arrays).
+
+    Ground truth is indexed *inside* the body from the resident cache
+    rather than passed as a stacked [K,H,W,3] scan input: big image xs make
+    the axon TPU backend pathologically slow (measured 27 ms → 700+ ms per
+    step, sometimes an outright backend error), while a per-step gather
+    from the cache costs ~1 ms.
     """
     step = make_train_step(model, cfg, tile_cfg, spatial_lr_scale, jit=False)
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
-    def scan_fn(state, gt, cams, timesteps, bg, sh_degree):
+    def scan_fn(state, gt_cache, views, cams, timesteps, bg, sh_degree):
+        integer_gt = jnp.issubdtype(gt_cache.dtype, jnp.integer)
+
         def body(st, xs):
-            g, cam, ts = xs
+            v, cam, ts = xs
+            g = gt_cache[v]
+            if integer_gt:
+                # Multiply by the constant reciprocal, same as GTCache.get:
+                # a true divide may be rewritten differently by XLA when
+                # fused into the body, breaking bitwise scan↔single-step
+                # equivalence (Adam's eps=1e-15 amplifies 1-ulp input
+                # differences into sign flips).
+                g = g.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
             out = step(st, g, cam, ts, bg, sh_degree)
             return out.state, out.metrics
 
-        new_state, metrics = jax.lax.scan(body, state, (gt, cams, timesteps))
+        new_state, metrics = jax.lax.scan(body, state, (views, cams, timesteps))
         return new_state, metrics
 
     return scan_fn

@@ -80,13 +80,16 @@ def main(argv=None):
 
     timed("geometry (FLAME+proj+SH)", lambda s: s + geometry(s)[0].mean2d[0, 0] * 0)
 
-    def with_binning(s):
+    def with_binning(s, tight):
         proj, colors, wg = geometry(s)
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        binned = bin_gaussians(proj_sg, H, W, TILE, pallas_table=use_pallas)
+        opac = jnp.where(proj_sg.mask, wg.opacity, 0.0) if tight else None
+        binned = bin_gaussians(proj_sg, H, W, TILE, pallas_table=use_pallas,
+                               opacity=opac)
         return s + binned.idx[0, 0].astype(jnp.float32) * 0 + proj.mean2d[0, 0] * 0
 
-    timed("geometry + binning", with_binning)
+    timed("geometry + binning (loose)", lambda s: with_binning(s, False))
+    timed("geometry + binning (tight)", lambda s: with_binning(s, True))
 
     def fwd(s):
         jaw = jnp.zeros((1, 3)) + s * 1e-12
@@ -151,24 +154,26 @@ def main(argv=None):
         params, aux, cfg, num_timesteps=2, n_expr=50, n_shape=100,
         num_verts=model.num_verts,
     )
-    step = make_train_step(model, cfg, TILE)
+    # The production dispatch: K steps per call via make_train_scan
+    # (training/loop.py's chunked path), not a jitted-step-in-fori_loop.
+    from gaussianavatars_tpu.data.cameras import jit_static_key
+    from gaussianavatars_tpu.training.trainer import make_train_scan, stack_cameras
 
-    @jax.jit
-    def run_step_chain(state, n_iter):
-        def body(i, carry):
-            st, s = carry
-            out = step(st, target + s * 1e-12, cam, jnp.int32(0), bg, sh_degree=3)
-            return (out.state, out.metrics["loss"] * 0 + s)
-        return jax.lax.fori_loop(0, n_iter, body, (state, jnp.zeros(())))
+    scan_fn = make_train_scan(model, cfg, TILE)
+    k = a.iters
+    cache = (jnp.clip(target, 0, 1)[None] * 255).astype(jnp.uint8)  # [1,H,W,3]
+    views = jnp.zeros((k,), jnp.int32)
+    cams = stack_cameras([jit_static_key(cam)] * k)
+    ts = jnp.zeros((k,), jnp.int32)
 
-    st, s = run_step_chain(state, a.iters)
-    float(s)
-    state2 = jax.tree_util.tree_map(jnp.array, st)  # fresh buffers
+    st, m = scan_fn(state, cache, views, cams, ts, bg, sh_degree=3)
+    float(m["loss"][-1])
+    state2 = jax.tree_util.tree_map(jnp.array, st)  # fresh buffers (donated)
     t0 = time.perf_counter()
-    st, s = run_step_chain(state2, a.iters)
-    float(s)
-    dt = (time.perf_counter() - t0) / a.iters
-    print(f"{'full train step':34s} {dt * 1e3:8.3f} ms")
+    st, m = scan_fn(state2, cache, views, cams, ts, bg, sh_degree=3)
+    float(m["loss"][-1])
+    dt = (time.perf_counter() - t0) / k
+    print(f"{'full train step (scan chunk)':34s} {dt * 1e3:8.3f} ms")
 
 
 if __name__ == "__main__":

@@ -59,6 +59,27 @@ def test_train_step_jit_cache():
         assert step._cache_size() == n_start  # no retrace on second call
 
 
+def test_flame_bound_step_jit_cache():
+    """Bound-state leaves must be strongly typed: a weak-typed leaf (e.g.
+    logit_opacity from jnp.full with a python float) strengthens after one
+    step, changing the jit cache key → silent ~40 s recompile on call 2."""
+    model, params, aux, cam, gt = flame_setup()
+    cfg = Config()
+    state = init_train_state(
+        params, aux, cfg, num_timesteps=2, n_expr=4, n_shape=8,
+        num_verts=model.num_verts,
+    )
+    for leaf in jax.tree_util.tree_leaves(state):
+        assert not getattr(leaf, "weak_type", False), "weak-typed state leaf"
+    step = make_train_step(model, cfg, TILE)
+    bg = jnp.zeros(3)
+    out = step(state, gt, cam, jnp.int32(0), bg, sh_degree=0)
+    n_start = step._cache_size() if hasattr(step, "_cache_size") else None
+    out = step(out.state, gt, cam, jnp.int32(0), bg, sh_degree=0)
+    if n_start is not None:
+        assert step._cache_size() == n_start  # no retrace on second call
+
+
 def flame_setup():
     assets = synthetic_assets(n_shape=8, n_expr=4, seed=0)
     model = FlameModel(assets, FlameConfig(n_shape=8, n_expr=4, add_teeth=False))
