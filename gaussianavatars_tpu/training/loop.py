@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.cameras import Camera, jit_static_key
-from ..data.pipeline import Prefetcher, load_view
+from ..data.pipeline import EpochSampler, Prefetcher, load_view
 from ..data.scene import Scene
 from ..models.densify import (
     DensifyConfig, densify_and_prune, reset_opacity,
@@ -523,6 +523,119 @@ def train(
         for src_ in sources.values():
             if isinstance(src_, Prefetcher):
                 src_.close()
+        if writer:
+            writer.close()
+    return logs
+
+
+def train_sharded(
+    harness: TrainerHarness,
+    mesh,
+    iterations: Optional[int] = None,
+    log_every: int = 100,
+    eval_every: Optional[int] = None,
+    save_iterations: Sequence[int] = (),
+    checkpoint_iterations: Sequence[int] = (),
+    eval_views: int = 4,
+    gauss_shard: bool = False,
+    seed: int = 0,
+    device_cache_bytes: int = 4 << 30,
+) -> List[dict]:
+    """Multi-chip training driver over a ('data', 'tile') jax mesh.
+
+    Each step trains `mesh.shape['data']` cameras (one per data-group) with
+    compositing split over 'tile' row bands (optionally per-splat geometry
+    too, `gauss_shard` — parallel/sharded.py). State stays replicated, so
+    densify / opacity-reset / eval / save reuse the single-chip events at
+    the same cadences. One dispatch per step — intended for locally
+    attached pods (collectives amortise per-chip work); through a tunnel
+    use `train()`'s scan chunking instead.
+    """
+    from ..parallel.sharded import (
+        camera_batch, make_sharded_train_step, pad_gt_for_mesh, padded_height,
+    )
+
+    cfg, scene, model = harness.cfg, harness.scene, harness.model
+    o = cfg.opt
+    iterations = iterations if iterations is not None else o.iterations
+    tcfg = tile_config(cfg)
+    bg = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
+    )
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+    cams_all = scene.cameras("train", 1.0)
+    template = jit_static_key(cams_all[0])
+    hp = padded_height(template.height, tcfg.tile_h, n_tile)
+
+    source = DeviceGtCache(
+        scene.records("train"), cams_all, max_bytes=device_cache_bytes
+    )
+    sampler = iter(EpochSampler(len(cams_all), seed=seed))
+    step = make_sharded_train_step(
+        model, cfg, tcfg, mesh, template,
+        spatial_lr_scale=harness.spatial_lr_scale, gauss_shard=gauss_shard,
+    )
+    render_fn = make_render_fn(model, cfg, tcfg)
+    writer = _maybe_tensorboard(cfg.model.model_path)
+    logs: List[dict] = []
+    ema = None
+    t0 = time.time()
+
+    try:
+        for it in range(harness.start_iteration + 1, iterations + 1):
+            sh_deg = active_sh_degree(it, cfg.model.sh_degree)
+            views = [int(next(sampler)) for _ in range(n_data)]
+            # camera_batch extracts only traced arrays (incl. timestep), so
+            # raw cameras are fine here; static fields come from `template`.
+            cams = camera_batch([cams_all[v] for v in views])
+            gt = source.data[jnp.asarray(views)].astype(jnp.float32) \
+                * jnp.float32(1.0 / 255.0)
+            gt = pad_gt_for_mesh(gt, hp)
+            harness.state, metrics = step(
+                harness.state, cams, gt, bg, sh_degree=sh_deg
+            )
+
+            if it % log_every == 0 or it == iterations:
+                loss = float(metrics["loss"])
+                ema = loss if ema is None else 0.6 * ema + 0.4 * loss
+                rec = {
+                    "iteration": it, "loss": loss, "ema_loss": ema,
+                    "psnr": float(metrics["psnr"]),
+                    "num_points": int(num_alive(harness.state.aux)),
+                    "elapsed_s": time.time() - t0,
+                }
+                logs.append(rec)
+                print(f"[{it}/{iterations}] loss={loss:.5f} ema={ema:.5f} "
+                      f"psnr={rec['psnr']:.2f} pts={rec['num_points']}")
+                if writer:
+                    for k in ("loss", "psnr"):
+                        writer.add_scalar(f"train/{k}", rec[k], it)
+
+            if (o.densify_from_iter <= it < o.densify_until_iter
+                    and it % o.densification_interval == 0):
+                densify_event(harness, it)
+            if it % o.opacity_reset_interval == 0 and it < o.densify_until_iter:
+                opacity_reset_event(harness)
+            if eval_every and it % eval_every == 0:
+                for split in ("val", "test"):
+                    m = evaluate_split(harness, split, render_fn, sh_deg,
+                                       max_views=eval_views, bg=bg)
+                    if m:
+                        print(f"  [eval {split}] psnr={m['psnr']:.2f} "
+                              f"ssim={m['ssim']:.4f}")
+            if it in set(save_iterations):
+                flame_param = (
+                    flame_table_from_state(harness.state, scene.flame_table)
+                    if model is not None else None
+                )
+                scene.save(it, harness.state.params, harness.state.aux, flame_param)
+            if it in set(checkpoint_iterations):
+                save_train_state(
+                    os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
+                    harness.state, it,
+                )
+    finally:
         if writer:
             writer.close()
     return logs

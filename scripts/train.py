@@ -67,6 +67,13 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=str, default="",
+                   help="multi-chip mesh 'DATAxTILE' (e.g. 2x4): train with "
+                        "cameras sharded over 'data' and tile rows over "
+                        "'tile' (parallel/sharded.py)")
+    p.add_argument("--gauss_shard", action="store_true",
+                   help="with --mesh: also shard per-Gaussian geometry over "
+                        "the tile axis")
     p.add_argument("--steps_per_call", type=int, default=50,
                    help="train steps per jitted dispatch (lax.scan chunks)")
     return p.parse_args(argv)
@@ -153,17 +160,34 @@ def main(argv=None):
         if gui:
             gui.service(harness, it)
 
-    train(
-        harness,
-        iterations=a.iterations,
-        log_every=a.log_every,
-        eval_every=iv,
-        save_iterations=saves,
-        checkpoint_iterations=ckpts,
-        on_step=on_step,
-        seed=a.seed,
-        steps_per_call=a.steps_per_call,
-    )
+    if a.mesh:
+        from gaussianavatars_tpu.parallel.mesh import make_device_mesh
+        from gaussianavatars_tpu.training.loop import train_sharded
+
+        d, t = (int(x) for x in a.mesh.lower().split("x"))
+        train_sharded(
+            harness,
+            make_device_mesh(data=d, tile=t),
+            iterations=a.iterations,
+            log_every=a.log_every,
+            eval_every=iv,
+            save_iterations=saves,
+            checkpoint_iterations=ckpts,
+            gauss_shard=a.gauss_shard,
+            seed=a.seed,
+        )
+    else:
+        train(
+            harness,
+            iterations=a.iterations,
+            log_every=a.log_every,
+            eval_every=iv,
+            save_iterations=saves,
+            checkpoint_iterations=ckpts,
+            on_step=on_step,
+            seed=a.seed,
+            steps_per_call=a.steps_per_call,
+        )
 
 
 if __name__ == "__main__":
