@@ -104,6 +104,60 @@ def main(argv=None):
 
     timed("render fwd", lambda s: s + fwd(s).color[0, 0, 0] * 0)
 
+    # Composite-only rows: binning fixed (computed once outside the loop),
+    # geometry recomputed per iteration so the compositor sees fresh inputs.
+    def _setup_composite():
+        proj, colors, wg = geometry(jnp.zeros(()))
+        proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
+        opac = jnp.where(proj_sg.mask, wg.opacity, 0.0)
+        binned = bin_gaussians(proj_sg, H, W, TILE, pallas_table=use_pallas,
+                               opacity=jax.lax.stop_gradient(opac))
+        if use_pallas:
+            from gaussianavatars_tpu.ops.pallas.composite import make_pallas_compositor
+
+            _nty, ntx = TILE.grid(H, W)
+            comp = make_pallas_compositor(binned.counts, TILE.tile_h, TILE.tile_w, ntx)
+        else:
+            from gaussianavatars_tpu.ops.rasterize_tiled import composite_tiles
+            comp = composite_tiles
+        return binned, comp
+
+    binned_fix, comp_fix = _setup_composite()
+    binned_fix = jax.tree_util.tree_map(jax.lax.stop_gradient, binned_fix)
+
+    def comp_fwd(s):
+        proj, colors, wg = geometry(s)
+        opac = jnp.where(proj.mask, wg.opacity, 0.0)
+        img, alpha = rasterize_binned(
+            proj.mean2d, proj.conic, colors, opac, binned_fix, H, W, bg, TILE,
+            compositor=comp_fix,
+        )
+        return s + img[0, 0, 0] * 0
+
+    timed("geometry + composite fwd", comp_fwd)
+
+    def comp_fwd_bwd(s):
+        def loss_fn(p):
+            jaw = jnp.zeros((1, 3)) + s * 1e-12
+            verts = model.forward(fl._replace(jaw=jaw))
+            frames = face_frames(verts[0], model.faces)
+            wg = world_gaussians(p, aux, frames)
+            proj = project_from_params(wg.means, wg.scales, wg.quats, cam,
+                                       alive=wg.alive)
+            dirs = wg.means - cam.camera_center
+            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+            colors = eval_sh_color_kc(wg.sh, dirs, 3)
+            opac = jnp.where(proj.mask, wg.opacity, 0.0)
+            img, alpha = rasterize_binned(
+                proj.mean2d, proj.conic, colors, opac, binned_fix, H, W, bg,
+                TILE, compositor=comp_fix,
+            )
+            return jnp.mean(img)
+        l, g = jax.value_and_grad(loss_fn)(params)
+        return s + l * 0 + g.means[0, 0] * 0
+
+    timed("geometry + composite fwd+bwd", comp_fwd_bwd)
+
     target = jax.jit(lambda: fwd(jnp.zeros(())).color)()
 
     def fwd_bwd_mse(s):
