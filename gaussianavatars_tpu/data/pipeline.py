@@ -51,6 +51,22 @@ def load_view(rec: CameraRecord, cam: Camera) -> np.ndarray:
     return decode_image(rec.image_path, rec.bg, cam.width, cam.height)
 
 
+def gt_to_float(x):
+    """uint8 [0,255] → float32 [0,1]; float passes through unchanged.
+
+    THE one conversion used by every ground-truth path (device cache `get`,
+    the in-scan gather, the sharded step). It must be a multiply by this
+    exact constant everywhere: a true divide can be rewritten differently by
+    XLA depending on fusion context, and a 1-ulp difference between two
+    otherwise-identical training paths is amplified by Adam (eps=1e-15)
+    into sign-flipped updates, breaking scan↔single-step equivalence."""
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+        return jnp.asarray(x).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return x
+
+
 class EpochSampler:
     """Shuffled epoch order over view indices (DataLoader(shuffle=True)
     with batch 1, `train.py:116-124`)."""

@@ -97,7 +97,10 @@ def _project_core(
 
     # EWA: cov2D = J W Σ Wᵀ Jᵀ with the perspective Jacobian J evaluated at a
     # frustum-clamped camera-space point (stabilises J for off-screen outliers).
-    fx, fy = f32(camera.focal_x), f32(camera.focal_y)
+    # asarray, not f32(...): focal/fov may be traced per-view scalars
+    # (parallel/sharded.py's _DeviceCamera) and np.float32(tracer) raises.
+    fx = jnp.asarray(camera.focal_x, f32)
+    fy = jnp.asarray(camera.focal_y, f32)
     lim_x = 1.3 * camera.tan_half_fovx
     lim_y = 1.3 * camera.tan_half_fovy
     tz = jnp.where(jnp.abs(depth) < 1e-6, 1e-6, depth)

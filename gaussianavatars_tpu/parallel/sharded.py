@@ -62,6 +62,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
 from ..data.cameras import Camera
+from ..data.pipeline import gt_to_float
 from ..models.binding import face_frames
 from ..models.flame.flame_model import FlameModel, FlameParams
 from ..models.gaussians import world_gaussians
@@ -78,13 +79,16 @@ from ..training.trainer import (
 
 
 class CameraBatch(NamedTuple):
-    """Per-view tensors for B cameras (static intrinsics shared)."""
+    """Per-view tensors for B cameras (image SIZE is shared/static; fovs are
+    traced so rigs with per-camera intrinsics project correctly)."""
 
     world_view: jnp.ndarray     # [B, 4, 4]
     proj: jnp.ndarray           # [B, 4, 4]
     full_proj: jnp.ndarray      # [B, 4, 4]
     camera_center: jnp.ndarray  # [B, 3]
     timestep: jnp.ndarray       # [B] int32
+    tan_half_fovx: jnp.ndarray  # [B] f32
+    tan_half_fovy: jnp.ndarray  # [B] f32
 
 
 def camera_batch(cams: list[Camera]) -> CameraBatch:
@@ -95,7 +99,35 @@ def camera_batch(cams: list[Camera]) -> CameraBatch:
         full_proj=stack("full_proj"),
         camera_center=stack("camera_center"),
         timestep=jnp.asarray([c.timestep for c in cams], jnp.int32),
+        tan_half_fovx=jnp.asarray([c.tan_half_fovx for c in cams], jnp.float32),
+        tan_half_fovy=jnp.asarray([c.tan_half_fovy for c in cams], jnp.float32),
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class _DeviceCamera:
+    """In-trace camera shim: same attribute surface `projection.py` reads,
+    but with traced per-view fov/focal scalars (a real `Camera` keeps fov as
+    static python metadata, which would bake one rig's intrinsics into the
+    trace). Constructed inside `device_fn` only — never crosses a jit
+    boundary, so it need not be a pytree."""
+
+    world_view: jnp.ndarray
+    proj: jnp.ndarray
+    full_proj: jnp.ndarray
+    camera_center: jnp.ndarray
+    tan_half_fovx: jnp.ndarray
+    tan_half_fovy: jnp.ndarray
+    width: int
+    height: int
+
+    @property
+    def focal_x(self):
+        return self.width / (2.0 * self.tan_half_fovx)
+
+    @property
+    def focal_y(self):
+        return self.height / (2.0 * self.tan_half_fovy)
 
 
 def padded_height(height: int, tile_h: int, n_tile_shards: int) -> int:
@@ -143,14 +175,19 @@ def make_sharded_train_step(
                   gt: jnp.ndarray, bg: jnp.ndarray):
         tile_idx = jax.lax.axis_index("tile")
         y0 = (tile_idx * rows).astype(jnp.float32)
-        cam = dataclasses.replace(
-            template_camera,
+        cam = _DeviceCamera(
             world_view=cb.world_view[0], proj=cb.proj[0],
             full_proj=cb.full_proj[0], camera_center=cb.camera_center[0],
+            tan_half_fovx=cb.tan_half_fovx[0], tan_half_fovy=cb.tan_half_fovy[0],
+            width=W, height=H,
         )
         timestep = cb.timestep[0]
-        gt_local = gt[0]  # [rows, W, 3]
-        gt_full = jax.lax.all_gather(gt_local, "tile", axis=0).reshape(H_pad, W, 3)[:H]
+        gt_local = gt[0]  # [rows, W, 3], uint8 or float
+        # Gather the compact dtype, then convert (uint8 = 4x less ICI/reshard
+        # traffic; gt_to_float is THE shared conversion — see its docstring).
+        gt_full = gt_to_float(
+            jax.lax.all_gather(gt_local, "tile", axis=0).reshape(H_pad, W, 3)[:H]
+        )
 
         def geometry(params, flame):
             if use_flame:
@@ -326,6 +363,7 @@ def make_sharded_train_step(
     cam_spec = CameraBatch(
         world_view=P("data"), proj=P("data"), full_proj=P("data"),
         camera_center=P("data"), timestep=P("data"),
+        tan_half_fovx=P("data"), tan_half_fovy=P("data"),
     )
     gt_spec = P("data", "tile")
 

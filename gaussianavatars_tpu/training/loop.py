@@ -331,9 +331,58 @@ class DeviceGtCache:
         self.data = jax.device_put(np.concatenate(chunks, 0))
 
     def get(self, view: int) -> jnp.ndarray:
-        # Multiply (not divide): must stay bitwise-identical to the in-body
-        # conversion in make_train_scan under any XLA fusion/rewrite.
-        return self.data[view].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        from ..data.pipeline import gt_to_float
+
+        return gt_to_float(self.data[view])
+
+
+def _post_step_events(
+    harness: TrainerHarness,
+    it: int,
+    sh_deg: int,
+    *,
+    writer,
+    render_fn,
+    eval_every: Optional[int],
+    eval_views: int,
+    bg,
+    save_set: set,
+    ckpt_set: set,
+) -> None:
+    """Densify / opacity-reset / eval / save / checkpoint at the standard
+    cadences (`train.py:264-289` in the reference). Shared by `train` and
+    `train_sharded` so the event logic cannot drift between drivers."""
+    cfg, scene, model = harness.cfg, harness.scene, harness.model
+    o = cfg.opt
+    if (o.densify_from_iter <= it < o.densify_until_iter
+            and it % o.densification_interval == 0):
+        report = densify_event(harness, it)
+        if writer:
+            for k in ("cloned", "split", "pruned"):
+                writer.add_scalar(f"densify/{k}", report[k], it)
+    if it % o.opacity_reset_interval == 0 and it < o.densify_until_iter:
+        opacity_reset_event(harness)
+    if eval_every and it % eval_every == 0:
+        for split in ("val", "test"):
+            m = evaluate_split(
+                harness, split, render_fn, sh_deg, max_views=eval_views, bg=bg
+            )
+            if m:
+                print(f"  [eval {split}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
+                if writer:
+                    writer.add_scalar(f"{split}/psnr", m["psnr"], it)
+                    writer.add_scalar(f"{split}/ssim", m["ssim"], it)
+    if it in save_set:
+        flame_param = (
+            flame_table_from_state(harness.state, scene.flame_table)
+            if model is not None else None
+        )
+        scene.save(it, harness.state.params, harness.state.aux, flame_param)
+    if it in ckpt_set:
+        save_train_state(
+            os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
+            harness.state, it,
+        )
 
 
 def train(
@@ -399,6 +448,8 @@ def train(
     ema = None
     t0 = time.time()
     writer = _maybe_tensorboard(cfg.model.model_path)
+    save_set = set(save_iterations)
+    ckpt_set = set(checkpoint_iterations)
 
     def next_boundary(i: int) -> int:
         """Last iteration of the chunk starting at i (inclusive): the nearest
@@ -483,41 +534,12 @@ def train(
                 if on_step:
                     on_step(it, rec)
 
-            # ---- densification (`train.py:264-273`) ------------------------
-            if (
-                o.densify_from_iter <= it < o.densify_until_iter
-                and it % o.densification_interval == 0
-            ):
-                report = densify_event(harness, it)
-                if writer:
-                    writer.add_scalar("densify/cloned", report["cloned"], it)
-                    writer.add_scalar("densify/split", report["split"], it)
-                    writer.add_scalar("densify/pruned", report["pruned"], it)
-            if it % o.opacity_reset_interval == 0 and it < o.densify_until_iter:
-                opacity_reset_event(harness)
-
-            if eval_every and it % eval_every == 0:
-                for split in ("val", "test"):
-                    m = evaluate_split(
-                        harness, split, render_fn, sh_deg, max_views=eval_views, bg=bg
-                    )
-                    if m:
-                        print(f"  [eval {split}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
-                        if writer:
-                            writer.add_scalar(f"{split}/psnr", m["psnr"], it)
-                            writer.add_scalar(f"{split}/ssim", m["ssim"], it)
-
-            if it in set(save_iterations):
-                flame_param = (
-                    flame_table_from_state(harness.state, scene.flame_table)
-                    if model is not None else None
-                )
-                scene.save(it, harness.state.params, harness.state.aux, flame_param)
-            if it in set(checkpoint_iterations):
-                save_train_state(
-                    os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
-                    harness.state, it,
-                )
+            _post_step_events(
+                harness, it, sh_deg,
+                writer=writer, render_fn=render_fn, eval_every=eval_every,
+                eval_views=eval_views, bg=bg,
+                save_set=save_set, ckpt_set=ckpt_set,
+            )
             it += 1
     finally:
         for src_ in sources.values():
@@ -540,6 +562,7 @@ def train_sharded(
     gauss_shard: bool = False,
     seed: int = 0,
     device_cache_bytes: int = 4 << 30,
+    on_step: Optional[Callable[[int, dict], None]] = None,
 ) -> List[dict]:
     """Multi-chip training driver over a ('data', 'tile') jax mesh.
 
@@ -550,6 +573,11 @@ def train_sharded(
     the same cadences. One dispatch per step — intended for locally
     attached pods (collectives amortise per-chip work); through a tunnel
     use `train()`'s scan chunking instead.
+
+    Unsupported options (loudly rejected rather than silently ignored): the
+    five training innovations, progressive resolution, and the laplacian
+    loss — the sharded step implements the baseline recipe
+    (L1 + D-SSIM + xyz/scale regularizers).
     """
     from ..parallel.sharded import (
         camera_batch, make_sharded_train_step, pad_gt_for_mesh, padded_height,
@@ -557,6 +585,22 @@ def train_sharded(
 
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
+    # (smart densification is fine — densify_event runs host-side on the
+    # replicated state either way.)
+    unsupported = [
+        name for name, on in [
+            ("use_region_adaptive_loss", o.use_region_adaptive_loss),
+            ("use_progressive_resolution", o.use_progressive_resolution),
+            ("use_color_calibration", o.use_color_calibration),
+            ("use_contrastive_reg", o.use_contrastive_reg),
+            ("lambda_laplacian", o.lambda_laplacian != 0),
+        ] if on
+    ]
+    if unsupported:
+        raise ValueError(
+            "train_sharded implements the baseline recipe; unsupported "
+            f"options enabled: {unsupported}. Drop them or use train()."
+        )
     iterations = iterations if iterations is not None else o.iterations
     tcfg = tile_config(cfg)
     bg = jnp.asarray(
@@ -568,9 +612,16 @@ def train_sharded(
     template = jit_static_key(cams_all[0])
     hp = padded_height(template.height, tcfg.tile_h, n_tile)
 
-    source = DeviceGtCache(
-        scene.records("train"), cams_all, max_bytes=device_cache_bytes
-    )
+    recs = scene.records("train")
+    try:
+        source = DeviceGtCache(recs, cams_all, max_bytes=device_cache_bytes)
+        fetch = lambda views: source.data[jnp.asarray(views, jnp.int32)]
+    except MemoryError:
+        print("[info] dataset exceeds the device GT cache budget — "
+              "streaming views from host per step")
+        fetch = lambda views: jnp.asarray(
+            np.stack([load_view(recs[v], cams_all[v]) for v in views])
+        )
     sampler = iter(EpochSampler(len(cams_all), seed=seed))
     step = make_sharded_train_step(
         model, cfg, tcfg, mesh, template,
@@ -581,17 +632,19 @@ def train_sharded(
     logs: List[dict] = []
     ema = None
     t0 = time.time()
+    save_set = set(save_iterations)
+    ckpt_set = set(checkpoint_iterations)
 
     try:
         for it in range(harness.start_iteration + 1, iterations + 1):
             sh_deg = active_sh_degree(it, cfg.model.sh_degree)
             views = [int(next(sampler)) for _ in range(n_data)]
-            # camera_batch extracts only traced arrays (incl. timestep), so
-            # raw cameras are fine here; static fields come from `template`.
+            # camera_batch extracts only traced arrays (incl. timestep and
+            # per-view fovs), so raw cameras are fine here; static sizes
+            # come from `template`. GT ships in the cache dtype (uint8 = 4x
+            # less reshard traffic); the step converts on device.
             cams = camera_batch([cams_all[v] for v in views])
-            gt = source.data[jnp.asarray(views)].astype(jnp.float32) \
-                * jnp.float32(1.0 / 255.0)
-            gt = pad_gt_for_mesh(gt, hp)
+            gt = pad_gt_for_mesh(fetch(views), hp)
             harness.state, metrics = step(
                 harness.state, cams, gt, bg, sh_degree=sh_deg
             )
@@ -609,32 +662,17 @@ def train_sharded(
                 print(f"[{it}/{iterations}] loss={loss:.5f} ema={ema:.5f} "
                       f"psnr={rec['psnr']:.2f} pts={rec['num_points']}")
                 if writer:
-                    for k in ("loss", "psnr"):
+                    for k in ("loss", "psnr", "num_points"):
                         writer.add_scalar(f"train/{k}", rec[k], it)
+                if on_step:
+                    on_step(it, rec)
 
-            if (o.densify_from_iter <= it < o.densify_until_iter
-                    and it % o.densification_interval == 0):
-                densify_event(harness, it)
-            if it % o.opacity_reset_interval == 0 and it < o.densify_until_iter:
-                opacity_reset_event(harness)
-            if eval_every and it % eval_every == 0:
-                for split in ("val", "test"):
-                    m = evaluate_split(harness, split, render_fn, sh_deg,
-                                       max_views=eval_views, bg=bg)
-                    if m:
-                        print(f"  [eval {split}] psnr={m['psnr']:.2f} "
-                              f"ssim={m['ssim']:.4f}")
-            if it in set(save_iterations):
-                flame_param = (
-                    flame_table_from_state(harness.state, scene.flame_table)
-                    if model is not None else None
-                )
-                scene.save(it, harness.state.params, harness.state.aux, flame_param)
-            if it in set(checkpoint_iterations):
-                save_train_state(
-                    os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
-                    harness.state, it,
-                )
+            _post_step_events(
+                harness, it, sh_deg,
+                writer=writer, render_fn=render_fn, eval_every=eval_every,
+                eval_views=eval_views, bg=bg,
+                save_set=save_set, ckpt_set=ckpt_set,
+            )
     finally:
         if writer:
             writer.close()

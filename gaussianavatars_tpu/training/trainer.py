@@ -444,19 +444,11 @@ def make_train_scan(
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
     def scan_fn(state, gt_cache, views, cams, timesteps, bg, sh_degree):
-        integer_gt = jnp.issubdtype(gt_cache.dtype, jnp.integer)
+        from ..data.pipeline import gt_to_float
 
         def body(st, xs):
             v, cam, ts = xs
-            g = gt_cache[v]
-            if integer_gt:
-                # Multiply by the constant reciprocal, same as GTCache.get:
-                # a true divide may be rewritten differently by XLA when
-                # fused into the body, breaking bitwise scan↔single-step
-                # equivalence (Adam's eps=1e-15 amplifies 1-ulp input
-                # differences into sign flips).
-                g = g.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-            out = step(st, g, cam, ts, bg, sh_degree)
+            out = step(st, gt_to_float(gt_cache[v]), cam, ts, bg, sh_degree)
             return out.state, out.metrics
 
         new_state, metrics = jax.lax.scan(body, state, (views, cams, timesteps))

@@ -175,6 +175,7 @@ def main(argv=None):
             checkpoint_iterations=ckpts,
             gauss_shard=a.gauss_shard,
             seed=a.seed,
+            on_step=on_step,
         )
     else:
         train(

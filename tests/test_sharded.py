@@ -131,6 +131,36 @@ def test_gauss_shard_matches_single_chip():
     )
 
 
+def test_mixed_intrinsics_match_single_chip():
+    """data=2 with per-camera fovs: the sharded per-view EWA Jacobian must
+    use each camera's own focal (a template-fov bug would skew conics)."""
+    params, aux, cam, gt = unbound_setup()
+    cfg = Config()
+    mesh = make_device_mesh(data=2, tile=4)
+    cam2 = look_at_camera(eye=(0.2, 0.1, -2.0), fovy=1.2,  # different fov
+                          width=cam.width, height=cam.height)
+    gt2 = gt * 0.5
+
+    # Single-chip per-camera losses from the same initial state.
+    state = init_train_state(params, aux, cfg)
+    step1 = make_train_step(None, cfg, TILE)
+    losses = []
+    for c, g in ((cam, gt), (cam2, gt2)):
+        st = jax.tree_util.tree_map(jnp.array, state)
+        losses.append(float(step1(st, g, c, jnp.int32(0), jnp.zeros(3),
+                                  sh_degree=0).metrics["loss"]))
+
+    stepN = make_sharded_train_step(None, cfg, TILE, mesh, cam)
+    hp = padded_height(cam.height, TILE.tile_h, 4)
+    st = jax.tree_util.tree_map(jnp.array, state)
+    _, metrics = stepN(st, camera_batch([cam, cam2]),
+                       pad_gt_for_mesh(jnp.stack([gt, gt2]), hp),
+                       jnp.zeros(3), sh_degree=0)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), np.mean(losses), rtol=1e-4
+    )
+
+
 def test_gauss_shard_flame_bound_runs():
     """FLAME-bound + gauss_shard over a (data=2, tile=4) mesh updates FLAME."""
     assets = synthetic_assets(n_shape=8, n_expr=4, seed=0)
