@@ -40,7 +40,9 @@ ALPHA_CUTOFF = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 
-_CHUNK = 32  # slots per chunk; must divide the tile capacity
+_CHUNK = 64  # slots per chunk; must divide the tile capacity.
+# 64 beats 32 by ~2% on both render and fwd+bwd at 802x550/92k (v5e):
+# fewer loop iterations and larger sublane vector loads per parameter table.
 
 
 def _pixel_coords(th: int, tw: int, x0, y0):
