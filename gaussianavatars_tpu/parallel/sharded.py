@@ -306,8 +306,8 @@ def make_sharded_train_step(
             )
 
         # Regularisers: replicated inputs → identical across 'tile'; average
-        # over 'data' only (visibility differs per camera).
-        def reg_loss(params):
+        # over 'data' only (visibility/timestep differ per camera).
+        def reg_loss(params, flame):
             nvis = jnp.maximum(jnp.sum(vis), 1)
             total = jnp.zeros(())
             if use_flame:
@@ -320,14 +320,34 @@ def make_sharded_train_step(
                     total += jnp.sum(
                         jnp.where(vis, safe_norm(sc, axis=1), 0.0)
                     ) / nvis * o.lambda_scale
+                if o.lambda_laplacian != 0:
+                    fp = FlameParams(
+                        shape=state.flame_static.shape,
+                        expr=flame.expr[timestep][None],
+                        rotation=flame.rotation[timestep][None],
+                        neck=flame.neck[timestep][None],
+                        jaw=flame.jaw[timestep][None],
+                        eyes=flame.eyes[timestep][None],
+                        translation=flame.translation[timestep][None],
+                        static_offset=state.flame_static.static_offset,
+                    )
+                    v, v_cano = model.forward(fp, return_verts_cano=True)
+                    total += model.laplacian_loss(v, v_cano) * o.lambda_laplacian
             return total
 
-        reg_total, g_reg = jax.value_and_grad(reg_loss)(state.params)
+        reg_total, g_reg2 = jax.value_and_grad(reg_loss, argnums=(0, 1))(
+            state.params, state.flame
+        )
         g_reg = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, "data") / n_data, g_reg
+            lambda g: jax.lax.psum(g, "data") / n_data, g_reg2[0]
         )
         reg_mean = jax.lax.pmean(reg_total, "data")
         g_params = jax.tree_util.tree_map(jnp.add, g_params, g_reg)
+        if use_flame:
+            g_flame_reg = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, "data") / n_data, g_reg2[1]
+            )
+            g_flame = jax.tree_util.tree_map(jnp.add, g_flame, g_flame_reg)
 
         # --- updates (identical on every device) ---------------------------
         lr = gaussian_lr_tree(state.params, state.adam.step + 1, cfg, spatial_lr_scale)

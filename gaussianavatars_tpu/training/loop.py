@@ -574,10 +574,10 @@ def train_sharded(
     attached pods (collectives amortise per-chip work); through a tunnel
     use `train()`'s scan chunking instead.
 
-    Unsupported options (loudly rejected rather than silently ignored): the
-    five training innovations, progressive resolution, and the laplacian
-    loss — the sharded step implements the baseline recipe
-    (L1 + D-SSIM + xyz/scale regularizers).
+    Unsupported options (loudly rejected rather than silently ignored):
+    region-adaptive loss, progressive resolution, color calibration and
+    contrastive regularization — the sharded step implements the baseline
+    recipe (L1 + D-SSIM + xyz/scale/laplacian regularizers).
     """
     from ..parallel.sharded import (
         camera_batch, make_sharded_train_step, pad_gt_for_mesh, padded_height,
@@ -585,15 +585,15 @@ def train_sharded(
 
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
-    # (smart densification is fine — densify_event runs host-side on the
-    # replicated state either way.)
+    # (smart densification and the laplacian loss work here — densify_event
+    # runs host-side on the replicated state, and the sharded step carries
+    # the laplacian in its regulariser pass.)
     unsupported = [
         name for name, on in [
             ("use_region_adaptive_loss", o.use_region_adaptive_loss),
             ("use_progressive_resolution", o.use_progressive_resolution),
             ("use_color_calibration", o.use_color_calibration),
             ("use_contrastive_reg", o.use_contrastive_reg),
-            ("lambda_laplacian", o.lambda_laplacian != 0),
         ] if on
     ]
     if unsupported:

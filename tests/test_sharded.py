@@ -199,7 +199,9 @@ def test_sharded_flame_bound_runs():
         eye=center + np.array([0, 0, -4 * extent]), target=center, fovy=0.5,
         width=32, height=32,
     )
-    cfg = Config()
+    from gaussianavatars_tpu.config import OptimizationConfig
+
+    cfg = Config(opt=OptimizationConfig(lambda_laplacian=0.1))  # laplacian on
     mesh = make_device_mesh(data=2, tile=4)
     state = init_train_state(
         params, aux, cfg, num_timesteps=2, n_expr=4, n_shape=8,
