@@ -69,7 +69,15 @@ from ..models.gaussians import world_gaussians
 from ..ops.projection import project_from_params
 from ..ops.rasterize_tiled import TileConfig, bin_gaussians, rasterize_binned
 from ..ops.sh import eval_sh_color_kc
-from ..training.loss import l1_loss, psnr, safe_norm, ssim
+from ..training.innovations import (
+    color_net_apply,
+    color_net_reg,
+    contrastive_loss,
+    contrastive_update,
+    flame_region_weight_map,
+    heuristic_weight_map,
+)
+from ..training.loss import l1_loss, psnr, safe_norm, ssim, weighted_l1_loss
 from ..training.optim import adam_update
 from ..training.trainer import (
     TrainState,
@@ -165,6 +173,11 @@ def make_sharded_train_step(
     o = cfg.opt
     use_flame = model is not None
     faces = model.faces if use_flame else None
+    region_vids = (
+        {k: v for k, v in model.assets.vertex_masks.items()
+         if k in ("eyes_left", "eyes_right", "mouth", "nose")}
+        if use_flame else {}
+    )
     H, W = template_camera.height, template_camera.width
     n_tile = mesh.shape["tile"]
     n_data = mesh.shape["data"]
@@ -204,6 +217,7 @@ def make_sharded_train_step(
                 verts = model.forward(fp)
                 frames = face_frames(verts[0], faces)
             else:
+                verts = None
                 frames = None
             if gauss_shard:
                 # Dual-role axis: this device owns Gaussians [off, off+chunk).
@@ -238,9 +252,11 @@ def make_sharded_train_step(
             mean2d_local = proj.mean2d - jnp.concatenate(
                 [jnp.zeros((1,)), y0[None]]
             )[None, :]
-            return (mean2d_local, proj.conic, colors, opac), proj
+            return (mean2d_local, proj.conic, colors, opac), (proj, verts)
 
-        screen, vjp_geo, proj = jax.vjp(geometry, state.params, state.flame, has_aux=True)
+        screen, vjp_geo, (proj, verts) = jax.vjp(
+            geometry, state.params, state.flame, has_aux=True
+        )
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
         # Pallas helper kernels need vma annotations under shard_map;
         # the sharded step uses the plain-gather table build.
@@ -250,24 +266,51 @@ def make_sharded_train_step(
             opacity=jax.lax.stop_gradient(screen[3]),
         )
 
-        def image_loss(screen):
+        def image_loss(screen, color_net):
             mean2d, conic, colors, opac = screen
             img_local, _ = rasterize_binned(
                 mean2d, conic, colors, opac, binned, rows, W, bg, tile_cfg
             )
             img = jax.lax.all_gather(img_local, "tile", axis=0).reshape(H_pad, W, 3)[:H]
-            l1 = l1_loss(img, gt_full) * (1.0 - o.lambda_dssim)
+            if color_net is not None:
+                img = color_net_apply(color_net, img)
+            if o.use_region_adaptive_loss:
+                if use_flame:
+                    wmap = flame_region_weight_map(
+                        jax.lax.stop_gradient(verts[0]), region_vids, cam, H, W,
+                        o.region_weight_eyes, o.region_weight_mouth,
+                        o.region_weight_nose,
+                    )
+                else:
+                    wmap = heuristic_weight_map(
+                        H, W, o.region_weight_eyes, o.region_weight_mouth,
+                        o.region_weight_nose, o.region_weight_face,
+                    )
+                l1 = weighted_l1_loss(img, gt_full, wmap[..., None]) * (
+                    1.0 - o.lambda_dssim
+                )
+            else:
+                l1 = l1_loss(img, gt_full) * (1.0 - o.lambda_dssim)
             s = (1.0 - ssim(jnp.transpose(img, (2, 0, 1)),
                             jnp.transpose(gt_full, (2, 0, 1)))) * o.lambda_dssim
+            extra = jnp.zeros(())
+            if color_net is not None and o.lambda_color_reg > 0:
+                extra = extra + color_net_reg(color_net) * o.lambda_color_reg
+            if state.contrastive is not None and o.lambda_contrastive > 0:
+                extra = extra + contrastive_loss(
+                    state.contrastive, img, o.contrastive_downsample
+                ) * o.lambda_contrastive
             # pmean over 'tile' is a numerical no-op (every tile-device holds
             # the same gathered-image loss) but marks the loss mesh-invariant
             # for the vma type system; its transpose distributes cotangents
             # that the all_gather transpose re-sums exactly.
-            loss = jax.lax.pmean(jax.lax.pmean(l1 + s, "data"), "tile")
+            loss = jax.lax.pmean(jax.lax.pmean(l1 + s + extra, "data"), "tile")
             return loss, (img, l1, s)
 
-        loss, vjp_img, (img, l1, s) = jax.vjp(image_loss, screen, has_aux=True)
-        (g_screen,) = vjp_img(jnp.ones(()))
+        loss, vjp_img, (img, l1, s) = jax.vjp(
+            image_loss, screen, state.color_net, has_aux=True
+        )
+        g_screen, g_color = vjp_img(jnp.ones(()))
 
         # --- densification statistics (global, replicated result) ----------
         # Per-camera pixel-space mean2d grad: undo the data-pmean factor.
@@ -357,6 +400,26 @@ def make_sharded_train_step(
             new_flame, new_flame_adam = adam_update(
                 state.flame, g_flame, state.flame_adam, flame_lr_tree(cfg)
             )
+        new_color, new_color_adam = state.color_net, state.color_adam
+        if state.color_net is not None:
+            g_color = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(jax.lax.psum(g, "tile"), "data"), g_color
+            )
+            lr_c = jax.tree_util.tree_map(lambda _: 1e-3, state.color_net)
+            new_color, new_color_adam = adam_update(
+                state.color_net, g_color, state.color_adam, lr_c
+            )
+        new_contrastive = state.contrastive
+        if state.contrastive is not None:
+            upd = contrastive_update(state.contrastive, img, o.contrastive_downsample)
+            # Cache data-group 0's render (exact single-chip semantics at
+            # data=1; a defined choice beyond), re-typed mesh-invariant: the
+            # psum selects group 0, the pmean over identical values re-types.
+            pick = (jax.lax.axis_index("data") == 0).astype(upd.images.dtype)
+            images = jax.lax.pmean(
+                jax.lax.psum(upd.images * pick, "data"), "tile"
+            )
+            new_contrastive = upd._replace(images=images)
 
         metrics = {
             "loss": loss + reg_mean,
@@ -376,6 +439,8 @@ def make_sharded_train_step(
         new_state = dataclasses.replace(
             state, params=new_params, aux=aux_new, adam=new_adam,
             flame=new_flame, flame_adam=new_flame_adam,
+            color_net=new_color, color_adam=new_color_adam,
+            contrastive=new_contrastive,
         )
         return new_state, metrics
 

@@ -574,10 +574,12 @@ def train_sharded(
     attached pods (collectives amortise per-chip work); through a tunnel
     use `train()`'s scan chunking instead.
 
-    Unsupported options (loudly rejected rather than silently ignored):
-    region-adaptive loss, progressive resolution, color calibration and
-    contrastive regularization — the sharded step implements the baseline
-    recipe (L1 + D-SSIM + xyz/scale/laplacian regularizers).
+    The training innovations (region-adaptive loss, color calibration,
+    contrastive reg, smart densification) and the laplacian loss all work
+    here. The one loudly-rejected option is progressive resolution: each
+    image scale changes the static padded-height/mesh geometry, which this
+    driver builds once (a per-scale step table like train()'s would lift
+    that — not yet wired).
     """
     from ..parallel.sharded import (
         camera_batch, make_sharded_train_step, pad_gt_for_mesh, padded_height,
@@ -585,21 +587,10 @@ def train_sharded(
 
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
-    # (smart densification and the laplacian loss work here — densify_event
-    # runs host-side on the replicated state, and the sharded step carries
-    # the laplacian in its regulariser pass.)
-    unsupported = [
-        name for name, on in [
-            ("use_region_adaptive_loss", o.use_region_adaptive_loss),
-            ("use_progressive_resolution", o.use_progressive_resolution),
-            ("use_color_calibration", o.use_color_calibration),
-            ("use_contrastive_reg", o.use_contrastive_reg),
-        ] if on
-    ]
-    if unsupported:
+    if o.use_progressive_resolution:
         raise ValueError(
-            "train_sharded implements the baseline recipe; unsupported "
-            f"options enabled: {unsupported}. Drop them or use train()."
+            "train_sharded does not support use_progressive_resolution "
+            "(static per-scale mesh geometry); drop it or use train()."
         )
     iterations = iterations if iterations is not None else o.iterations
     tcfg = tile_config(cfg)

@@ -131,6 +131,54 @@ def test_gauss_shard_matches_single_chip():
     )
 
 
+def test_innovations_match_single_chip():
+    """Region-adaptive L1 + color net + contrastive reg through the sharded
+    step must reproduce the single-chip step exactly (data=1, tile=8)."""
+    from gaussianavatars_tpu.config import OptimizationConfig
+
+    params, aux, cam, gt = unbound_setup()
+    cfg = Config(opt=OptimizationConfig(
+        use_region_adaptive_loss=True,
+        use_color_calibration=True,
+        use_contrastive_reg=True,
+    ))
+    mesh = make_device_mesh(data=1, tile=8)
+    hw = (cam.height, cam.width)
+
+    state_a = init_train_state(params, aux, cfg, image_hw=hw)
+    params2, aux2, _, _ = unbound_setup()
+    state_b = init_train_state(params2, aux2, cfg, image_hw=hw)
+
+    step1 = make_train_step(None, cfg, TILE)
+    out = step1(state_a, gt, cam, jnp.int32(0), jnp.zeros(3), sh_degree=0)
+
+    stepN = make_sharded_train_step(None, cfg, TILE, mesh, cam)
+    hp = padded_height(cam.height, TILE.tile_h, 8)
+    new_state, metrics = stepN(
+        state_b, camera_batch([cam]), pad_gt_for_mesh(gt[None], hp),
+        jnp.zeros(3), sh_degree=0,
+    )
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(out.metrics["loss"]), rtol=1e-4
+    )
+    for name in ["means", "log_scales", "quats", "logit_opacity"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_state.params, name)),
+            np.asarray(getattr(out.state.params, name)),
+            atol=5e-5, err_msg=name,
+        )
+    # Color-net weights stepped identically; contrastive cache holds the
+    # same downsampled render.
+    for wa, wb in zip(out.state.color_net.weights, new_state.color_net.weights):
+        np.testing.assert_allclose(np.asarray(wb), np.asarray(wa), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.contrastive.images),
+        np.asarray(out.state.contrastive.images),
+        atol=1e-5,
+    )
+
+
 def test_mixed_intrinsics_match_single_chip():
     """data=2 with per-camera fovs: the sharded per-view EWA Jacobian must
     use each camera's own focal (a template-fov bug would skew conics)."""
