@@ -574,12 +574,10 @@ def train_sharded(
     attached pods (collectives amortise per-chip work); through a tunnel
     use `train()`'s scan chunking instead.
 
-    The training innovations (region-adaptive loss, color calibration,
-    contrastive reg, smart densification) and the laplacian loss all work
-    here. The one loudly-rejected option is progressive resolution: each
-    image scale changes the static padded-height/mesh geometry, which this
-    driver builds once (a per-scale step table like train()'s would lift
-    that — not yet wired).
+    Full option parity with `train()`: the five training innovations
+    (progressive resolution included — each image scale gets its own
+    compiled step/GT-cache bundle) and the laplacian loss all run here,
+    with exact single-chip equivalence asserted in tests/test_sharded.py.
     """
     from ..parallel.sharded import (
         camera_batch, make_sharded_train_step, pad_gt_for_mesh, padded_height,
@@ -587,11 +585,6 @@ def train_sharded(
 
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
-    if o.use_progressive_resolution:
-        raise ValueError(
-            "train_sharded does not support use_progressive_resolution "
-            "(static per-scale mesh geometry); drop it or use train()."
-        )
     iterations = iterations if iterations is not None else o.iterations
     tcfg = tile_config(cfg)
     bg = jnp.asarray(
@@ -599,25 +592,35 @@ def train_sharded(
     )
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
-    cams_all = scene.cameras("train", 1.0)
-    template = jit_static_key(cams_all[0])
-    hp = padded_height(template.height, tcfg.tile_h, n_tile)
-
     recs = scene.records("train")
-    try:
-        source = DeviceGtCache(recs, cams_all, max_bytes=device_cache_bytes)
-        fetch = lambda views: source.data[jnp.asarray(views, jnp.int32)]
-    except MemoryError:
-        print("[info] dataset exceeds the device GT cache budget — "
-              "streaming views from host per step")
-        fetch = lambda views: jnp.asarray(
-            np.stack([load_view(recs[v], cams_all[v]) for v in views])
+
+    # Per-resolution-scale bundles (progressive resolution swaps the whole
+    # static geometry: cameras, padded height, GT cache, compiled step).
+    bundles: Dict[float, tuple] = {}
+
+    def bundle_for(div: float):
+        if div in bundles:
+            return bundles[div]
+        cams_d = scene.cameras("train", div)
+        template_d = jit_static_key(cams_d[0])
+        hp_d = padded_height(template_d.height, tcfg.tile_h, n_tile)
+        try:
+            source_d = DeviceGtCache(recs, cams_d, max_bytes=device_cache_bytes)
+            fetch = lambda views, s=source_d: s.data[jnp.asarray(views, jnp.int32)]
+        except MemoryError:
+            print("[info] dataset exceeds the device GT cache budget — "
+                  "streaming views from host per step")
+            fetch = lambda views, c=cams_d: jnp.asarray(
+                np.stack([load_view(recs[v], c[v]) for v in views])
+            )
+        step_d = make_sharded_train_step(
+            model, cfg, tcfg, mesh, template_d,
+            spatial_lr_scale=harness.spatial_lr_scale, gauss_shard=gauss_shard,
         )
-    sampler = iter(EpochSampler(len(cams_all), seed=seed))
-    step = make_sharded_train_step(
-        model, cfg, tcfg, mesh, template,
-        spatial_lr_scale=harness.spatial_lr_scale, gauss_shard=gauss_shard,
-    )
+        sampler_d = iter(EpochSampler(len(cams_d), seed=seed))
+        bundles[div] = (step_d, fetch, cams_d, hp_d, sampler_d)
+        return bundles[div]
+
     render_fn = make_render_fn(model, cfg, tcfg)
     writer = _maybe_tensorboard(cfg.model.model_path)
     logs: List[dict] = []
@@ -629,11 +632,18 @@ def train_sharded(
     try:
         for it in range(harness.start_iteration + 1, iterations + 1):
             sh_deg = active_sh_degree(it, cfg.model.sh_degree)
+            if o.use_progressive_resolution:
+                div = 1.0 / innovations.resolution_scale_at(
+                    it, o.resolution_schedule, o.resolution_milestones
+                )
+            else:
+                div = 1.0
+            step, fetch, cams_all, hp, sampler = bundle_for(div)
             views = [int(next(sampler)) for _ in range(n_data)]
             # camera_batch extracts only traced arrays (incl. timestep and
             # per-view fovs), so raw cameras are fine here; static sizes
-            # come from `template`. GT ships in the cache dtype (uint8 = 4x
-            # less reshard traffic); the step converts on device.
+            # come from the scale's template. GT ships in the cache dtype
+            # (uint8 = 4x less reshard traffic); the step converts on device.
             cams = camera_batch([cams_all[v] for v in views])
             gt = pad_gt_for_mesh(fetch(views), hp)
             harness.state, metrics = step(

@@ -163,3 +163,27 @@ def test_train_sharded_loop(rendered_dataset, flame_model, tmp_path):
     assert last["loss"] < first["loss"], (first, last)
     out = tmp_path / "out_sh"
     assert (out / "point_cloud" / "iteration_30" / "point_cloud.ply").exists()
+
+
+def test_train_sharded_progressive_resolution(rendered_dataset, flame_model, tmp_path):
+    """Progressive resolution on the sharded driver: the scale swap at the
+    milestone rebuilds the step/cache bundle and training stays finite."""
+    import dataclasses as _dc
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gaussianavatars_tpu.parallel.mesh import make_device_mesh
+    from gaussianavatars_tpu.training.loop import train_sharded
+
+    cfg = _config(rendered_dataset, iters=16)
+    cfg = _dc.replace(cfg, opt=_dc.replace(
+        cfg.opt, use_progressive_resolution=True,
+        resolution_schedule=(0.5, 1.0), resolution_milestones=(8,),
+        densify_from_iter=10_000,
+    ))
+    harness = build_harness(cfg, model=flame_model)
+    mesh = make_device_mesh(data=2, tile=4)
+    logs = train_sharded(harness, mesh, iterations=16, log_every=4, eval_every=0)
+    assert np.isfinite(logs[-1]["loss"])
