@@ -103,6 +103,27 @@ def main():
     def run_render(carry):
         return jax.lax.fori_loop(0, N_ITER, lambda i, c: render_frame(c, i), carry)
 
+    # Guard: the tightened tile budget (capacity 512, 8 tiles/Gaussian) must
+    # not drop splats, or the headline FPS is measured on partial frames.
+    from gaussianavatars_tpu.ops.projection import project_from_params
+    from gaussianavatars_tpu.ops.rasterize_tiled import bin_gaussians
+
+    verts0 = model.forward(fl)
+    wg0 = world_gaussians(params, aux, face_frames(verts0[0], model.faces))
+    proj0 = project_from_params(wg0.means, wg0.scales, wg0.quats, cam, alive=wg0.alive)
+    binned0 = bin_gaussians(
+        proj0, HEIGHT, WIDTH, TILE,
+        opacity=jnp.where(proj0.mask, wg0.opacity, 0.0),
+    )
+    overflow = int(binned0.overflow)
+    max_count = int(binned0.counts.max())
+    print(f"tile budget: max_count={max_count}/{TILE.capacity}, "
+          f"overflow={overflow}", file=sys.stderr)
+    assert overflow == 0, (
+        f"tile capacity overflow ({overflow} splats dropped) — bench numbers "
+        "would be measured on partially rendered frames"
+    )
+
     init = (jnp.zeros((HEIGHT, WIDTH, 3)), jnp.zeros(()))
     r = run_render(init)
     target = r[0]

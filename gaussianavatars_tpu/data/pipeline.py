@@ -40,7 +40,10 @@ def decode_image(path: str, bg: np.ndarray, width: int, height: int) -> np.ndarr
     ImageFile.LOAD_TRUNCATED_IMAGES = True  # reference `scene/__init__.py:28`
     with Image.open(path) as im:
         if im.size != (width, height):
-            im = im.resize((width, height), Image.LANCZOS)
+            # BILINEAR matches the native decoder's resampling exactly — the
+            # two paths must yield the same ground truth or training/eval
+            # numbers silently depend on whether the .so compiled.
+            im = im.resize((width, height), Image.BILINEAR)
         arr = np.asarray(im.convert("RGBA"), np.float32) / 255.0
     rgb = arr[..., :3]
     a = arr[..., 3:4]

@@ -360,7 +360,12 @@ def _post_step_events(
         if writer:
             for k in ("cloned", "split", "pruned"):
                 writer.add_scalar(f"densify/{k}", report[k], it)
-    if it % o.opacity_reset_interval == 0 and it < o.densify_until_iter:
+    # Reference resets opacity on the interval AND once at densify_from_iter
+    # for white-background scenes (train.py:272-273).
+    if it < o.densify_until_iter and (
+        it % o.opacity_reset_interval == 0
+        or (cfg.model.white_background and it == o.densify_from_iter)
+    ):
         opacity_reset_event(harness)
     if eval_every and it % eval_every == 0:
         for split in ("val", "test"):
@@ -383,6 +388,49 @@ def _post_step_events(
             os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
             harness.state, it,
         )
+
+
+def chunk_boundary(
+    i: int,
+    *,
+    iterations: int,
+    steps_per_call: int,
+    log_every: int,
+    eval_every: Optional[int],
+    opt,
+    save_iterations: Sequence[int] = (),
+    checkpoint_iterations: Sequence[int] = (),
+) -> int:
+    """Last iteration (inclusive) of a scan chunk starting at iteration `i`.
+
+    Two kinds of host events bound a chunk:
+
+      * **post-step** events (log, densify, opacity reset, eval, save,
+        checkpoint) act *after* iteration k — the chunk must END AT k;
+      * **pre-step** config changes (SH warm-up bumps `active_sh_degree` at
+        multiples of 1000; progressive resolution swaps cameras at each
+        milestone m) take effect *for* iteration k — the chunk must end at
+        k − 1 so the next chunk re-reads sh_degree / resolution before
+        running k. Ending at k would run iteration k with the stale value
+        and break single-step equivalence.
+    """
+    o = opt
+    cands = [iterations, i + steps_per_call - 1]
+    # Post-step events: end the chunk AT the event iteration.
+    for interval in (log_every, o.densification_interval,
+                     o.opacity_reset_interval, eval_every or 0):
+        if interval and interval > 0:
+            cands.append(((i + interval - 1) // interval) * interval)
+    for s in list(save_iterations) + list(checkpoint_iterations):
+        if s >= i:
+            cands.append(s)
+    # Pre-step config changes: end the chunk one iteration BEFORE.
+    cands.append((i // 1000 + 1) * 1000 - 1)          # SH warm-up
+    if o.use_progressive_resolution:
+        for m in o.resolution_milestones:
+            if m - 1 >= i:
+                cands.append(m - 1)
+    return max(min(c for c in cands if c >= i), i)
 
 
 def train(
@@ -452,21 +500,12 @@ def train(
     ckpt_set = set(checkpoint_iterations)
 
     def next_boundary(i: int) -> int:
-        """Last iteration of the chunk starting at i (inclusive): the nearest
-        event the host must act on."""
-        cands = [iterations, i + steps_per_call - 1]
-        for interval in (log_every, o.densification_interval,
-                         o.opacity_reset_interval, eval_every or 0, 1000):
-            if interval and interval > 0:
-                cands.append(((i + interval - 1) // interval) * interval)
-        for s in list(save_iterations) + list(checkpoint_iterations):
-            if s >= i:
-                cands.append(s)
-        if o.use_progressive_resolution:
-            for m in o.resolution_milestones:
-                if m >= i:
-                    cands.append(m)
-        return max(min(c for c in cands if c >= i), i)
+        return chunk_boundary(
+            i, iterations=iterations, steps_per_call=steps_per_call,
+            log_every=log_every, eval_every=eval_every, opt=o,
+            save_iterations=save_iterations,
+            checkpoint_iterations=checkpoint_iterations,
+        )
 
     try:
         it = harness.start_iteration + 1
@@ -535,7 +574,9 @@ def train(
                     on_step(it, rec)
 
             _post_step_events(
-                harness, it, sh_deg,
+                # `it` may have advanced to the chunk end — recompute sh_deg
+                # for the event/eval calls rather than reusing the chunk's.
+                harness, it, active_sh_degree(it, cfg.model.sh_degree),
                 writer=writer, render_fn=render_fn, eval_every=eval_every,
                 eval_views=eval_views, bg=bg,
                 save_set=save_set, ckpt_set=ckpt_set,

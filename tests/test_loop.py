@@ -187,3 +187,35 @@ def test_train_sharded_progressive_resolution(rendered_dataset, flame_model, tmp
     mesh = make_device_mesh(data=2, tile=4)
     logs = train_sharded(harness, mesh, iterations=16, log_every=4, eval_every=0)
     assert np.isfinite(logs[-1]["loss"])
+
+
+def test_chunk_boundary_pre_vs_post_step_events():
+    """Chunks must end one iteration BEFORE pre-step config changes (SH
+    warm-up at multiples of 1000, resolution milestones) and AT post-step
+    events (log/densify/save)."""
+    from gaussianavatars_tpu.config import OptimizationConfig
+    from gaussianavatars_tpu.training.loop import chunk_boundary
+
+    o = OptimizationConfig(
+        densification_interval=100, opacity_reset_interval=3000,
+        use_progressive_resolution=True,
+        resolution_milestones=(1500, 2500),
+    )
+    kw = dict(iterations=10_000, steps_per_call=500, log_every=100,
+              eval_every=None, opt=o)
+    # SH warm-up bumps at 1000: the chunk crossing it must end at 999 so
+    # iteration 1000 runs with the fresh degree.
+    assert chunk_boundary(901, **kw) == 999
+    # Starting exactly at the bump: degree is fresh; next SH stop is 1999,
+    # but the 100-interval post-step events bound first.
+    assert chunk_boundary(1000, **kw) == 1000
+    assert chunk_boundary(1001, **kw) == 1100
+    # Resolution milestone 1500 → chunk ends at 1499.
+    assert chunk_boundary(1401, **kw) == 1499
+    assert chunk_boundary(1499, **kw) == 1499
+    # Post-step events (save) end the chunk AT the event iteration.
+    assert chunk_boundary(
+        1701, **{**kw, "log_every": 0, "save_iterations": (1750,)},
+    ) == 1750
+    # steps_per_call caps the chunk length.
+    assert chunk_boundary(201, **{**kw, "steps_per_call": 10}) == 210
