@@ -28,6 +28,7 @@ per-chunk grads become aligned sublane-vector stores.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -145,7 +146,11 @@ def _fwd_kernel(
         a0 = a0 + w0
         a1 = a1 + w1
         a2 = a2 + w2
-        alive = jnp.max(t) >= T_EPS
+        # A pixel is finished once its stop index is set (< capacity). `t`
+        # freezes just ABOVE T_EPS at the trigger, so testing t itself would
+        # never fire; any pixel whose stop lies beyond this chunk keeps the
+        # loop going.
+        alive = jnp.max(stop) >= (k + 1) * K
         return k + 1, t, stop, a0, a1, a2, alive
 
     def cond(carry):
@@ -166,6 +171,166 @@ def _fwd_kernel(
     acc_ref[0, 2, :] = a2.reshape(p)
     tfin_ref[0, 0, :] = t.reshape(p)
     stop_ref[0, 0, :] = stop.reshape(p)
+
+
+def _bwd_kernel_moments(
+    counts_ref,            # scalar-prefetch [NT] i32
+    basis_ref,             # [R, 128, 8] moment basis (1, x, y, x², xy, y², 0, 0)
+    mean_ref,              # [1, C, 2]
+    conic_ref,             # [1, C, 3]
+    color_ref,             # [1, C, 3]
+    opac_ref,              # [1, C, 1]
+    acc_ref,               # [1, 3, P] primal output (premultiplied colour)
+    tfin_ref,              # [1, 1, P]
+    stop_ref,              # [1, 1, P] i32
+    gacc_ref,              # [1, 3, P] cotangent of acc
+    gacct_ref,             # [1, R, 128, 3] same cotangent, matmul layout
+    gt_ref,                # [1, 1, P] cotangent of t_final
+    dmean_ref,             # out [1, C, 2]
+    dconic_ref,            # out [1, C, 3]
+    dcolor_ref,            # out [1, C, 3]
+    dopac_ref,             # out [1, C, 1]
+    *,
+    th: int,
+    tw: int,
+    ntx: int,
+    capacity: int,
+):
+    """Backward replay, restructured around two MXU contractions per chunk.
+
+    The round-1 kernel did 9 scalar reductions over the [rows, 128] pixel
+    block per slot (576 per chunk) plus a 17-op `d_alpha` chain. Two
+    observations remove almost all of it:
+
+      * every mean/conic/opacity gradient is a polynomial (degree ≤ 2) in
+        the pixel offset, so all five spatial reductions collapse into the
+        *moments* of d_p against the fixed basis {1, x, y, x², xy, y²} in
+        tile-LOCAL coordinates (local keeps |x| ≤ tile_w so the moment
+        expansion Σd_p·dx² = Mxx − 2μMx + μ²M1 does not cancel
+        catastrophically in f32), and d_opacity = M1/opacity exactly
+        (alpha = opacity·exp(power) wherever the gradient is nonzero);
+      * the colour gradients are dot products of the per-slot weights
+        against the cotangent image.
+
+    So the sequential part of the loop shrinks to the transmittance /
+    colour-prefix recurrence plus a refactored
+    `d_alpha = t·gc − inv1·gs` (gc, gs = colour-/suffix-contractions with
+    the cotangents), the per-slot weights are stacked once per chunk, and
+    ONE batched dot against the basis plus ONE against the cotangent image
+    replace all 576 reductions.
+    """
+    i = pl.program_id(0)
+    p = th * tw
+    rows = p // 128
+    x0 = ((i % ntx) * tw).astype(jnp.float32)
+    y0 = ((i // ntx) * th).astype(jnp.float32)
+    # Tile-LOCAL pixel coordinates; means are shifted to match below.
+    px, py = _pixel_coords(th, tw, 0.0, 0.0)
+
+    count = jnp.minimum(counts_ref[i], capacity)
+
+    dmean_ref[...] = jnp.zeros_like(dmean_ref)
+    dconic_ref[...] = jnp.zeros_like(dconic_ref)
+    dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
+    dopac_ref[...] = jnp.zeros_like(dopac_ref)
+
+    t_final = tfin_ref[0, 0, :].reshape(rows, 128)
+    stop = stop_ref[0, 0, :].reshape(rows, 128)
+    a0 = acc_ref[0, 0, :].reshape(rows, 128)
+    a1 = acc_ref[0, 1, :].reshape(rows, 128)
+    a2 = acc_ref[0, 2, :].reshape(rows, 128)
+    g0 = gacc_ref[0, 0, :].reshape(rows, 128)
+    g1 = gacc_ref[0, 1, :].reshape(rows, 128)
+    g2 = gacc_ref[0, 2, :].reshape(rows, 128)
+    g_t = gt_ref[0, 0, :].reshape(rows, 128)
+    gt_tf = g_t * t_final          # slot-independent part of gs
+    basis = basis_ref[...]         # [rows, 128, 8]
+    gmat = gacct_ref[0]            # [rows, 128, 3]
+
+    K = _CHUNK
+    needed = jnp.minimum(count, jnp.max(stop) + 1)
+    n_chunks = (needed + K - 1) // K
+
+    ones = jnp.ones((1, rows, 128), jnp.float32)
+
+    def chunk_body(k, carry):
+        t, r0, r1, r2 = carry  # T before slot; residual a_c − prefix_{<s}
+        base = k * K
+        m = mean_ref[0, pl.ds(base, K), :]     # [K, 2]
+        co = conic_ref[0, pl.ds(base, K), :]   # [K, 3]
+        cl = color_ref[0, pl.ds(base, K), :]   # [K, 3]
+        op = opac_ref[0, pl.ds(base, K), 0]    # [K]
+        r = lambda v: v.reshape(K, 1, 1)
+        b = lambda v: r(v) * ones
+        mxl = m[:, 0] - x0
+        myl = m[:, 1] - y0
+        ca_p, cb_p, cc_p = b(co[:, 0]), b(co[:, 1]), b(co[:, 2])
+        c0, c1, c2 = b(cl[:, 0]), b(cl[:, 1]), b(cl[:, 2])
+
+        dx = px[None] - r(mxl)
+        dy = py[None] - r(myl)
+        power = -0.5 * (ca_p * dx * dx + cc_p * dy * dy) - cb_p * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, r(op) * jnp.exp(power))
+        slot_ids = base + jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+        contrib = (power <= 0.0) & (alpha >= ALPHA_CUTOFF) & (slot_ids < stop[None])
+        alpha_eff = jnp.where(contrib, alpha, 0.0)          # w/alpha with masks
+        ua_eff = jnp.where(alpha < ALPHA_MAX, alpha_eff, 0.0)
+        om_eff = 1.0 - alpha_eff
+        inv_one = 1.0 / (1.0 - alpha)                       # alpha ≤ 0.99
+        gc = c0 * g0[None] + c1 * g1[None] + c2 * g2[None]  # [K, rows, 128]
+
+        d_p_list, w_list = [], []
+        for j in range(K):
+            w = alpha_eff[j] * t
+            s0 = r0 - w * c0[j]
+            s1 = r1 - w * c1[j]
+            s2 = r2 - w * c2[j]
+            gs = gt_tf + g0 * s0 + g1 * s1 + g2 * s2
+            d_alpha = t * gc[j] - inv_one[j] * gs
+            d_p_list.append(d_alpha * ua_eff[j])
+            w_list.append(w)
+            r0, r1, r2 = s0, s1, s2
+            t = t * om_eff[j]
+        d_p = jnp.stack(d_p_list)   # [K, rows, 128]
+        w_all = jnp.stack(w_list)
+
+        # [K,rows,128] × [rows,128,F] — rows batched, lanes contracted → MXU.
+        dims = (((2,), (1,)), ((1,), (0,)))
+        mom = jnp.sum(
+            jax.lax.dot_general(d_p, basis, dims,
+                                preferred_element_type=jnp.float32),
+            axis=0,
+        )  # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy, ·, ·
+        dl = jnp.sum(
+            jax.lax.dot_general(w_all, gmat, dims,
+                                preferred_element_type=jnp.float32),
+            axis=0,
+        )  # [K, 3]
+
+        m1, mx, my = mom[:, 0], mom[:, 1], mom[:, 2]
+        mxx, mxy, myy = mom[:, 3], mom[:, 4], mom[:, 5]
+        s1_ = mx - mxl * m1
+        s2_ = my - myl * m1
+        sxx = mxx - 2.0 * mxl * mx + mxl * mxl * m1
+        sxy = mxy - mxl * my - myl * mx + mxl * myl * m1
+        syy = myy - 2.0 * myl * my + myl * myl * m1
+        ca, cb, cc = co[:, 0], co[:, 1], co[:, 2]
+        sl = pl.ds(base, K)
+        dmean_ref[0, sl, 0] = ca * s1_ + cb * s2_
+        dmean_ref[0, sl, 1] = cc * s2_ + cb * s1_
+        dconic_ref[0, sl, 0] = -0.5 * sxx
+        dconic_ref[0, sl, 1] = -sxy
+        dconic_ref[0, sl, 2] = -0.5 * syy
+        dcolor_ref[0, sl, 0] = dl[:, 0]
+        dcolor_ref[0, sl, 1] = dl[:, 1]
+        dcolor_ref[0, sl, 2] = dl[:, 2]
+        # d_opacity: alpha = op·e^power wherever unclamped, so
+        # Σ d_alpha·e^power = Σ d_p / op — no extra reduction.
+        dopac_ref[0, sl, 0] = m1 / jnp.maximum(op, 1e-12)
+        return t, r0, r1, r2
+
+    zeros = jnp.zeros((rows, 128), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, (zeros + 1.0, a0, a1, a2))
 
 
 def _bwd_kernel(
@@ -332,14 +497,37 @@ def _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx):
     return acc, tfin[:, 0, :], stop[:, 0, :]
 
 
-def _bwd_call(res: _Res, g_acc, g_t, th, tw, ntx):
+@functools.lru_cache(maxsize=None)
+def _moment_basis(th: int, tw: int) -> np.ndarray:
+    """[rows, 128, 8] basis {1, x, y, x², xy, y², 0, 0} in tile-local pixel
+    coordinates, flattened exactly like `_pixel_coords`."""
+    p = th * tw
+    rows = p // 128
+    lin = np.arange(p).reshape(rows, 128)
+    x = (lin % tw).astype(np.float32)
+    y = (lin // tw).astype(np.float32)
+    cols = [np.ones_like(x), x, y, x * x, x * y, y * y,
+            np.zeros_like(x), np.zeros_like(x)]
+    return np.stack(cols, axis=-1)
+
+
+def _bwd_call(res: _Res, g_acc_t, g_t, th, tw, ntx):
+    """g_acc_t: [NT, P, 3] cotangent of acc (pixel-major layout)."""
     nt, c = res.g_opac.shape
     p = th * tw
-    kern = functools.partial(_bwd_kernel, th=th, tw=tw, ntx=ntx, capacity=c)
+    rows = p // 128
+    g_acc = jnp.moveaxis(g_acc_t, 2, 1)  # [NT, 3, P] plane layout
+    use_moments = os.environ.get("GSAVATARS_BWD_IMPL", "moments") == "moments"
+    kern_fn = _bwd_kernel_moments if use_moments else _bwd_kernel
+    kern = functools.partial(kern_fn, th=th, tw=tw, ntx=ntx, capacity=c)
+    moment_specs = ([pl.BlockSpec((rows, 128, 8), lambda i, *_: (0, 0, 0))]
+                    if use_moments else [])
+    gacct_specs = ([pl.BlockSpec((1, rows, 128, 3), lambda i, *_: (i, 0, 0, 0))]
+                   if use_moments else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[
+        in_specs=moment_specs + [
             pl.BlockSpec((1, c, 2), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, c, 3), lambda i, *_: (i, 0, 0)),
@@ -348,6 +536,7 @@ def _bwd_call(res: _Res, g_acc, g_t, th, tw, ntx):
             pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 3, p), lambda i, *_: (i, 0, 0)),
+        ] + gacct_specs + [
             pl.BlockSpec((1, 1, p), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
@@ -357,6 +546,8 @@ def _bwd_call(res: _Res, g_acc, g_t, th, tw, ntx):
             pl.BlockSpec((1, c, 1), lambda i, *_: (i, 0, 0)),
         ],
     )
+    moment_args = ([jnp.asarray(_moment_basis(th, tw))] if use_moments else [])
+    gacct_args = ([g_acc_t.reshape(nt, rows, 128, 3)] if use_moments else [])
     d_mean, d_conic, d_color, d_opac = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -367,8 +558,10 @@ def _bwd_call(res: _Res, g_acc, g_t, th, tw, ntx):
             jax.ShapeDtypeStruct((nt, c, 1), jnp.float32),
         ],
         interpret=_should_interpret(),
-    )(res.counts, res.g_mean2d, res.g_conic, res.g_color, res.g_opac[:, :, None],
-      res.acc, res.t_final[:, None, :], res.stop[:, None, :], g_acc, g_t[:, None, :])
+    )(res.counts, *moment_args,
+      res.g_mean2d, res.g_conic, res.g_color, res.g_opac[:, :, None],
+      res.acc, res.t_final[:, None, :], res.stop[:, None, :], g_acc,
+      *gacct_args, g_t[:, None, :])
     return d_mean, d_conic, d_color, d_opac[:, :, 0]
 
 
@@ -393,8 +586,7 @@ def _pallas_fwd(geom, g_mean2d, g_conic, g_color, g_opac, counts):
 
 def _pallas_bwd(geom, res: _Res, cot):
     th, tw, ntx = geom
-    g_acc, g_t = cot
-    g_acc = jnp.moveaxis(g_acc, 2, 1)  # [NT, 3, P]
+    g_acc, g_t = cot  # g_acc: [NT, P, 3]
     d_mean, d_conic, d_color, d_opac = _bwd_call(res, g_acc, g_t, th, tw, ntx)
     d_counts = np.zeros(res.counts.shape, dtype=jax.dtypes.float0)
     return d_mean, d_conic, d_color, d_opac, d_counts
