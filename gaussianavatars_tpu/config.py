@@ -108,6 +108,7 @@ class OptimizationConfig:
     use_color_calibration: bool = False
     color_net_hidden_dim: int = 16
     color_net_layers: int = 3
+    color_net_lr: float = 1e-3      # reference: Adam(lr=1e-3), train.py:94
     lambda_color_reg: float = 1e-4
 
     # Innovation 5: contrastive regularization

@@ -9,9 +9,11 @@ scaling axes are:
     pixels are the long axis; each device bins + composites only its
     resident tile rows and the image is all-gathered for the loss).
 
-Gaussian-axis sharding of projection/binning is a planned third axis; at
-≤100k Gaussians projection is <1% of the step, so tiles+data carry the
-scaling (SURVEY.md §5 long-context entry).
+Gaussian-axis sharding (projection/binning sharded over splats) rides the
+``tile`` axis in a dual role — see ``parallel/sharded.py`` (``gauss_shard``)
+and its exact-equivalence test in ``tests/test_sharded.py``; at ≤100k
+Gaussians projection is <1% of the step, so tiles+data still carry most of
+the scaling (SURVEY.md §5 long-context entry).
 """
 from __future__ import annotations
 

@@ -214,10 +214,13 @@ def make_sharded_train_step(
                     translation=flame.translation[timestep][None],
                     static_offset=state.flame_static.static_offset,
                 )
-                verts = model.forward(fp)
+                if o.lambda_laplacian != 0:
+                    verts, verts_cano = model.forward(fp, return_verts_cano=True)
+                else:
+                    verts, verts_cano = model.forward(fp), None
                 frames = face_frames(verts[0], faces)
             else:
-                verts = None
+                verts = verts_cano = None
                 frames = None
             if gauss_shard:
                 # Dual-role axis: this device owns Gaussians [off, off+chunk).
@@ -252,9 +255,34 @@ def make_sharded_train_step(
             mean2d_local = proj.mean2d - jnp.concatenate(
                 [jnp.zeros((1,)), y0[None]]
             )[None, :]
-            return (mean2d_local, proj.conic, colors, opac), (proj, verts)
 
-        screen, vjp_geo, (proj, verts) = jax.vjp(
+            # Regularisers ride the same VJP as the screen seam (one FLAME
+            # forward+backward per step; mirrors trainer.make_train_step).
+            # Computed on the FULL params (not the gauss_shard slice) with the
+            # gathered visibility — identical across 'tile' by value.
+            reg_total = jnp.zeros(())
+            if use_flame:
+                visible = jax.lax.stop_gradient(proj.radius > 0)
+                nvis = jnp.maximum(jnp.sum(visible), 1)
+                xyz_excess = jax.nn.relu(
+                    safe_norm(params.means, axis=1) - o.threshold_xyz
+                )
+                reg_total += (
+                    jnp.sum(jnp.where(visible, xyz_excess, 0.0)) / nvis
+                    * o.lambda_xyz
+                )
+                if o.lambda_scale != 0:
+                    sc = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
+                    reg_total += jnp.sum(
+                        jnp.where(visible, safe_norm(sc, axis=1), 0.0)
+                    ) / nvis * o.lambda_scale
+                if o.lambda_laplacian != 0:
+                    reg_total += (
+                        model.laplacian_loss(verts, verts_cano) * o.lambda_laplacian
+                    )
+            return ((mean2d_local, proj.conic, colors, opac), reg_total), (proj, verts)
+
+        (screen, reg_total), vjp_geo, (proj, verts) = jax.vjp(
             geometry, state.params, state.flame, has_aux=True
         )
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
@@ -338,7 +366,15 @@ def make_sharded_train_step(
         )
 
         # --- gradients -----------------------------------------------------
-        g_params, g_flame = vjp_geo(g_screen)
+        # Joint VJP: image cotangents (already carrying the data-pmean 1/n
+        # factor) plus a reg cotangent of 1/(n_tile·n_data) — the mesh-wide
+        # psum below then yields exactly mean-over-cameras reg grads (reg is
+        # identical across 'tile', so psum over 'tile' multiplies by n_tile).
+        # (reg_total*0 + c keeps the cotangent's varying-axes type identical
+        # to reg_total's, which differs between the replicated and gauss_shard
+        # paths.)
+        reg_cot = reg_total * 0.0 + jnp.float32(1.0 / (n_tile * n_data))
+        g_params, g_flame = vjp_geo((g_screen, reg_cot))
         # Image-path grads differ per device: reduce over the whole mesh.
         g_params = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(jax.lax.psum(g, "tile"), "data"), g_params
@@ -347,50 +383,7 @@ def make_sharded_train_step(
             g_flame = jax.tree_util.tree_map(
                 lambda g: jax.lax.psum(jax.lax.psum(g, "tile"), "data"), g_flame
             )
-
-        # Regularisers: replicated inputs → identical across 'tile'; average
-        # over 'data' only (visibility/timestep differ per camera).
-        def reg_loss(params, flame):
-            nvis = jnp.maximum(jnp.sum(vis), 1)
-            total = jnp.zeros(())
-            if use_flame:
-                xyz_excess = jax.nn.relu(
-                    safe_norm(params.means, axis=1) - o.threshold_xyz
-                )
-                total += jnp.sum(jnp.where(vis, xyz_excess, 0.0)) / nvis * o.lambda_xyz
-                if o.lambda_scale != 0:
-                    sc = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
-                    total += jnp.sum(
-                        jnp.where(vis, safe_norm(sc, axis=1), 0.0)
-                    ) / nvis * o.lambda_scale
-                if o.lambda_laplacian != 0:
-                    fp = FlameParams(
-                        shape=state.flame_static.shape,
-                        expr=flame.expr[timestep][None],
-                        rotation=flame.rotation[timestep][None],
-                        neck=flame.neck[timestep][None],
-                        jaw=flame.jaw[timestep][None],
-                        eyes=flame.eyes[timestep][None],
-                        translation=flame.translation[timestep][None],
-                        static_offset=state.flame_static.static_offset,
-                    )
-                    v, v_cano = model.forward(fp, return_verts_cano=True)
-                    total += model.laplacian_loss(v, v_cano) * o.lambda_laplacian
-            return total
-
-        reg_total, g_reg2 = jax.value_and_grad(reg_loss, argnums=(0, 1))(
-            state.params, state.flame
-        )
-        g_reg = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, "data") / n_data, g_reg2[0]
-        )
-        reg_mean = jax.lax.pmean(reg_total, "data")
-        g_params = jax.tree_util.tree_map(jnp.add, g_params, g_reg)
-        if use_flame:
-            g_flame_reg = jax.tree_util.tree_map(
-                lambda g: jax.lax.psum(g, "data") / n_data, g_reg2[1]
-            )
-            g_flame = jax.tree_util.tree_map(jnp.add, g_flame, g_flame_reg)
+        reg_mean = jax.lax.pmean(jax.lax.pmean(reg_total, "data"), "tile")
 
         # --- updates (identical on every device) ---------------------------
         lr = gaussian_lr_tree(state.params, state.adam.step + 1, cfg, spatial_lr_scale)
@@ -405,7 +398,7 @@ def make_sharded_train_step(
             g_color = jax.tree_util.tree_map(
                 lambda g: jax.lax.psum(jax.lax.psum(g, "tile"), "data"), g_color
             )
-            lr_c = jax.tree_util.tree_map(lambda _: 1e-3, state.color_net)
+            lr_c = jax.tree_util.tree_map(lambda _: o.color_net_lr, state.color_net)
             new_color, new_color_adam = adam_update(
                 state.color_net, g_color, state.color_adam, lr_c
             )

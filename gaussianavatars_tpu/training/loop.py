@@ -299,6 +299,23 @@ def densify_event(harness: TrainerHarness, iteration: int) -> dict:
     return {k: int(v) for k, v in report._asdict().items()}
 
 
+def grow_gauss_capacity_event(harness: TrainerHarness, factor: int = 2) -> int:
+    """Double the Gaussian slot capacity after densify reported dropped
+    requests (the CUDA reference grows tensors dynamically; fixed-capacity
+    pytrees must grow explicitly — one retrace at the next dispatch)."""
+    from ..models.densify import grow_capacity
+
+    state = harness.state
+    new_cap = state.params.capacity * factor
+    params, aux, mu, nu = grow_capacity(
+        state.params, state.aux, state.adam.mu, state.adam.nu, new_cap
+    )
+    harness.state = dataclasses.replace(
+        state, params=params, aux=aux, adam=state.adam._replace(mu=mu, nu=nu)
+    )
+    return new_cap
+
+
 def opacity_reset_event(harness: TrainerHarness) -> None:
     state = harness.state
     params, mu, nu = reset_opacity(state.params, state.adam.mu, state.adam.nu)
@@ -358,8 +375,14 @@ def _post_step_events(
             and it % o.densification_interval == 0):
         report = densify_event(harness, it)
         if writer:
-            for k in ("cloned", "split", "pruned"):
+            for k in ("cloned", "split", "pruned", "dropped"):
                 writer.add_scalar(f"densify/{k}", report[k], it)
+        if report.get("dropped", 0) > 0:
+            new_cap = grow_gauss_capacity_event(harness)
+            print(
+                f"[warn] densify dropped {report['dropped']} grow requests — "
+                f"Gaussian capacity doubled to {new_cap} (will retrace)"
+            )
     # Reference resets opacity on the interval AND once at densify_from_iter
     # for white-background scenes (train.py:272-273).
     if it < o.densify_until_iter and (
@@ -468,6 +491,8 @@ def train(
 
     def step_for(scale: float):
         if scale not in steps:
+            # Reads the CURRENT tcfg: overflow recovery rebinds it and clears
+            # `steps`/`scans` so the next call compiles the larger capacity.
             steps[scale] = make_train_step(
                 model, cfg, tcfg, spatial_lr_scale=harness.spatial_lr_scale
             )
@@ -475,6 +500,7 @@ def train(
                 scans[scale] = make_train_scan(
                     model, cfg, tcfg, spatial_lr_scale=harness.spatial_lr_scale
                 )
+        if scale not in sources:  # survives step-cache invalidation
             recs = scene.records("train")
             cams = scene.cameras("train", scale)
             try:
@@ -532,6 +558,7 @@ def train(
                     harness.state, source.data, jnp.asarray(views, jnp.int32),
                     cams, ts, bg, sh_deg,
                 )
+                overflow_seen = int(jnp.max(m_all["overflow"]))
                 metrics = jax.tree_util.tree_map(lambda x: x[-1], m_all)
                 it = end
             else:
@@ -549,6 +576,26 @@ def train(
                 )
                 harness.state = out.state
                 metrics = out.metrics
+                # Host sync only at the log cadence (a per-step scalar pull
+                # costs ~ms through a TPU tunnel).
+                overflow_seen = (
+                    int(metrics["overflow"])
+                    if (it % log_every == 0 or it == iterations) else 0
+                )
+
+            if overflow_seen > 0:
+                # A tile exceeded TileConfig.capacity: its overflow splats were
+                # silently culled. Double the capacity and rebuild the compiled
+                # steps (the CUDA reference's per-tile lists are dynamic; our
+                # static budgets must grow to match its behavior).
+                tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
+                print(
+                    f"[warn] tile capacity overflow ({overflow_seen} splats "
+                    f"culled) — tile capacity doubled to {tcfg.capacity} "
+                    "(recompiling steps)"
+                )
+                steps.clear(); scans.clear()
+                render_fn = make_render_fn(model, cfg, tcfg)
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])
@@ -637,30 +684,34 @@ def train_sharded(
 
     # Per-resolution-scale bundles (progressive resolution swaps the whole
     # static geometry: cameras, padded height, GT cache, compiled step).
-    bundles: Dict[float, tuple] = {}
+    # Steps cache separately from data so overflow recovery can rebuild the
+    # compiled step without resetting samplers or re-uploading GT.
+    step_cache: Dict[float, Callable] = {}
+    data_cache: Dict[float, tuple] = {}
 
     def bundle_for(div: float):
-        if div in bundles:
-            return bundles[div]
-        cams_d = scene.cameras("train", div)
-        template_d = jit_static_key(cams_d[0])
-        hp_d = padded_height(template_d.height, tcfg.tile_h, n_tile)
-        try:
-            source_d = DeviceGtCache(recs, cams_d, max_bytes=device_cache_bytes)
-            fetch = lambda views, s=source_d: s.data[jnp.asarray(views, jnp.int32)]
-        except MemoryError:
-            print("[info] dataset exceeds the device GT cache budget — "
-                  "streaming views from host per step")
-            fetch = lambda views, c=cams_d: jnp.asarray(
-                np.stack([load_view(recs[v], c[v]) for v in views])
+        if div not in data_cache:
+            cams_d = scene.cameras("train", div)
+            template_d = jit_static_key(cams_d[0])
+            try:
+                source_d = DeviceGtCache(recs, cams_d, max_bytes=device_cache_bytes)
+                fetch = lambda views, s=source_d: s.data[jnp.asarray(views, jnp.int32)]
+            except MemoryError:
+                print("[info] dataset exceeds the device GT cache budget — "
+                      "streaming views from host per step")
+                fetch = lambda views, c=cams_d: jnp.asarray(
+                    np.stack([load_view(recs[v], c[v]) for v in views])
+                )
+            sampler_d = iter(EpochSampler(len(cams_d), seed=seed))
+            data_cache[div] = (fetch, cams_d, template_d, sampler_d)
+        fetch, cams_d, template_d, sampler_d = data_cache[div]
+        if div not in step_cache:
+            step_cache[div] = make_sharded_train_step(
+                model, cfg, tcfg, mesh, template_d,
+                spatial_lr_scale=harness.spatial_lr_scale, gauss_shard=gauss_shard,
             )
-        step_d = make_sharded_train_step(
-            model, cfg, tcfg, mesh, template_d,
-            spatial_lr_scale=harness.spatial_lr_scale, gauss_shard=gauss_shard,
-        )
-        sampler_d = iter(EpochSampler(len(cams_d), seed=seed))
-        bundles[div] = (step_d, fetch, cams_d, hp_d, sampler_d)
-        return bundles[div]
+        hp_d = padded_height(template_d.height, tcfg.tile_h, n_tile)
+        return step_cache[div], fetch, cams_d, hp_d, sampler_d
 
     render_fn = make_render_fn(model, cfg, tcfg)
     writer = _maybe_tensorboard(cfg.model.model_path)
@@ -708,6 +759,13 @@ def train_sharded(
                         writer.add_scalar(f"train/{k}", rec[k], it)
                 if on_step:
                     on_step(it, rec)
+                if float(metrics["overflow"]) > 0:
+                    tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
+                    print(
+                        f"[warn] tile capacity overflow — doubled to "
+                        f"{tcfg.capacity} (recompiling sharded steps)"
+                    )
+                    step_cache.clear()
 
             _post_step_events(
                 harness, it, sh_deg,

@@ -224,6 +224,10 @@ def make_train_step(
         key, key_next = jax.random.split(state.key)
 
         # ------------------------------------------------ stage 1: geometry
+        # The binding regularisers (xyz/scale) and the FLAME laplacian are
+        # computed INSIDE this stage so their gradients ride the same VJP as
+        # the screen-space seam — one FLAME forward+backward per step instead
+        # of a separate reg pass (the laplacian reuses verts/verts_cano).
         def geometry(params: GaussianParams, flame: Optional[FlameTrainable]):
             if use_flame:
                 fp = FlameParams(
@@ -250,12 +254,40 @@ def make_train_step(
             colors = eval_sh_color_kc(wg.sh, dirs, sh_degree)
             opac_eff = jnp.where(proj.mask, wg.opacity, 0.0)
             screen = (proj.mean2d, proj.conic, colors, opac_eff)
-            return screen, (proj, verts, verts_cano, frames)
 
-        screen, vjp_geo, geo_aux = jax.vjp(
+            # Regularisers (`train.py:229-243` binding losses).
+            reg_terms = {}
+            visible = jax.lax.stop_gradient(proj.radius > 0)
+            nvis = jnp.maximum(jnp.sum(visible), 1)
+            if use_flame:
+                xyz_excess = jax.nn.relu(
+                    safe_norm(params.means, axis=1) - o.threshold_xyz
+                )
+                reg_terms["xyz"] = (
+                    jnp.sum(jnp.where(visible, xyz_excess, 0.0)) / nvis * o.lambda_xyz
+                )
+                if o.lambda_scale != 0:
+                    sc_excess = jax.nn.relu(
+                        jnp.exp(params.log_scales) - o.threshold_scale
+                    )
+                    sc_norm = safe_norm(sc_excess, axis=1)
+                    reg_terms["scale"] = (
+                        jnp.sum(jnp.where(visible, sc_norm, 0.0)) / nvis
+                        * o.lambda_scale
+                    )
+                if o.lambda_laplacian != 0:
+                    reg_terms["lap"] = (
+                        model.laplacian_loss(verts, verts_cano) * o.lambda_laplacian
+                    )
+            reg_total = (
+                sum(reg_terms.values()) if reg_terms else jnp.zeros(())
+            )
+            return (screen, reg_total), (proj, verts, reg_terms)
+
+        (screen, reg_total), vjp_geo, geo_aux = jax.vjp(
             geometry, state.params, state.flame, has_aux=True
         )
-        proj, verts, verts_cano, frames = geo_aux
+        proj, verts, reg_terms = geo_aux
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
         binned = bin_gaussians(
             proj_sg, H, W, tile_cfg,
@@ -323,49 +355,12 @@ def make_train_step(
             state.aux, g_screen[0], proj_sg.radius, W, H
         )
 
-        # ------------------------------------------------ regularisers
-        def reg_loss(params: GaussianParams, flame: Optional[FlameTrainable]):
-            losses = {}
-            visible = jax.lax.stop_gradient(proj.radius > 0)
-            nvis = jnp.maximum(jnp.sum(visible), 1)
-            if use_flame:
-                # xyz: keep Gaussians near their triangle (local units).
-                xyz_excess = jax.nn.relu(
-                    safe_norm(params.means, axis=1) - o.threshold_xyz
-                )
-                losses["xyz"] = jnp.sum(jnp.where(visible, xyz_excess, 0.0)) / nvis * o.lambda_xyz
-                if o.lambda_scale != 0:
-                    sc_excess = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
-                    sc_norm = safe_norm(sc_excess, axis=1)
-                    losses["scale"] = (
-                        jnp.sum(jnp.where(visible, sc_norm, 0.0)) / nvis * o.lambda_scale
-                    )
-                if o.lambda_laplacian != 0:
-                    fp = FlameParams(
-                        shape=state.flame_static.shape,
-                        expr=flame.expr[timestep][None],
-                        rotation=flame.rotation[timestep][None],
-                        neck=flame.neck[timestep][None],
-                        jaw=flame.jaw[timestep][None],
-                        eyes=flame.eyes[timestep][None],
-                        translation=flame.translation[timestep][None],
-                        static_offset=state.flame_static.static_offset,
-                    )
-                    v, v_cano = model.forward(fp, return_verts_cano=True)
-                    losses["lap"] = model.laplacian_loss(v, v_cano) * o.lambda_laplacian
-            total = sum(losses.values()) if losses else jnp.zeros(())
-            return total, losses
-
-        (reg_total, reg_terms), g_reg = jax.value_and_grad(
-            reg_loss, argnums=(0, 1), has_aux=True
-        )(state.params, state.flame)
-
         # ------------------------------------------------ assemble gradients
-        g_params_img, g_flame_img = vjp_geo(g_screen)
-        g_params = jax.tree_util.tree_map(jnp.add, g_params_img, g_reg[0])
-        if use_flame:
-            g_flame = jax.tree_util.tree_map(jnp.add, g_flame_img, g_reg[1])
-        else:
+        # One joint VJP: screen cotangents from the image loss, unit
+        # cotangent on reg_total — image and regulariser gradients share the
+        # FLAME/world-compose backward pass.
+        g_params, g_flame = vjp_geo((g_screen, jnp.ones(())))
+        if not use_flame:
             g_flame = None
 
         # ------------------------------------------------ optimiser updates
@@ -378,7 +373,7 @@ def make_train_step(
             )
         new_color, new_color_adam = state.color_net, state.color_adam
         if state.color_net is not None:
-            lr_c = jax.tree_util.tree_map(lambda _: 1e-3, state.color_net)
+            lr_c = jax.tree_util.tree_map(lambda _: o.color_net_lr, state.color_net)
             new_color, new_color_adam = adam_update(
                 state.color_net, g_color, state.color_adam, lr_c
             )
