@@ -469,6 +469,8 @@ def train(
     prefetch_workers: int = 4,
     device_cache_bytes: int = 4 << 30,
     steps_per_call: int = 1,
+    gui_service: Optional[Callable[[int], bool]] = None,
+    debug_from: int = -1,
 ) -> List[dict]:
     """Run the loop. Returns the logged metric dicts.
 
@@ -477,7 +479,16 @@ def train(
     tunnelled TPUs where each dispatch costs ~1s, and still removes host
     overhead on local hardware. Chunks never cross an event boundary
     (densify, opacity reset, eval, save, log, SH warm-up), so results are
-    identical to single-stepping."""
+    identical to single-stepping.
+
+    `gui_service` is invoked after EVERY dispatch (the reference services
+    its viewer socket every iteration, train.py:143-172); it returns True
+    while a client is connected, which drops the loop to single-step
+    chunks so interactive frames stay fresh.
+
+    `debug_from` >= 0 enables per-iteration finite assertions on metrics
+    and parameters from that iteration on (the reference's `--debug_from`
+    rasterizer debug mode, train.py:189-190) — implies single-stepping."""
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
     iterations = iterations if iterations is not None else o.iterations
@@ -533,6 +544,7 @@ def train(
             checkpoint_iterations=checkpoint_iterations,
         )
 
+    gui_connected = False
     try:
         it = harness.start_iteration + 1
         while it <= iterations:
@@ -545,7 +557,8 @@ def train(
                 div = 1.0
             step, scan_fn, source, sampler = step_for(div)
             sh_deg = active_sh_degree(it, cfg.model.sh_degree)
-            end = next_boundary(it)
+            debugging = 0 <= debug_from <= it
+            end = it if (gui_connected or debugging) else next_boundary(it)
             k = end - it + 1
             cams_all = scene.cameras("train", div)
             if k > 1 and scan_fn is not None and sampler is not None:
@@ -582,6 +595,14 @@ def train(
                     int(metrics["overflow"])
                     if (it % log_every == 0 or it == iterations) else 0
                 )
+
+            if gui_service is not None:
+                gui_connected = bool(gui_service(it))
+            if debugging:
+                from ..utils.debug import assert_finite
+
+                assert_finite(metrics, f"metrics@it{it}")
+                assert_finite(harness.state.params, f"params@it{it}")
 
             if overflow_seen > 0:
                 # A tile exceeded TileConfig.capacity: its overflow splats were
@@ -651,6 +672,8 @@ def train_sharded(
     seed: int = 0,
     device_cache_bytes: int = 4 << 30,
     on_step: Optional[Callable[[int, dict], None]] = None,
+    gui_service: Optional[Callable[[int], bool]] = None,
+    debug_from: int = -1,
 ) -> List[dict]:
     """Multi-chip training driver over a ('data', 'tile') jax mesh.
 
@@ -741,6 +764,14 @@ def train_sharded(
             harness.state, metrics = step(
                 harness.state, cams, gt, bg, sh_degree=sh_deg
             )
+
+            if gui_service is not None:
+                gui_service(it)
+            if 0 <= debug_from <= it:
+                from ..utils.debug import assert_finite
+
+                assert_finite(metrics, f"metrics@it{it}")
+                assert_finite(harness.state.params, f"params@it{it}")
 
             if it % log_every == 0 or it == iterations:
                 loss = float(metrics["loss"])

@@ -122,13 +122,18 @@ class GuiServer:
 class TrainingGuiServer(GuiServer):
     """The service loop grafted into training (`train.py:143-172`)."""
 
-    def service(self, harness, iteration: int) -> None:
+    def service(self, harness, iteration: int) -> bool:
+        """Service one round of viewer requests.
+
+        Returns True while a client is connected, so the training loop can
+        drop to single-step dispatch for responsive frames (the reference
+        services its socket every iteration, train.py:143-172)."""
         import jax.numpy as jnp
 
         from ..training.loop import make_render_fn, tile_config
 
         if not self.try_connect():
-            return
+            return False
         cfg = harness.cfg
         if not hasattr(self, "_render_fn"):
             self._render_fn = make_render_fn(harness.model, cfg, tile_config(cfg))
@@ -157,6 +162,7 @@ class TrainingGuiServer(GuiServer):
                     break
             except Exception:
                 self.drop()
+        return self.conn is not None
 
     def _mesh_overlay(self, harness, cam, msg, image):
         import jax.numpy as jnp

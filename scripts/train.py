@@ -65,6 +65,14 @@ def parse_args(argv=None):
     p.add_argument("--save_iterations", type=int, nargs="*", default=None)
     p.add_argument("--checkpoint_iterations", type=int, nargs="*", default=None)
     p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="jax_debug_nans: re-run jitted fns eagerly on NaN "
+                        "(reference --detect_anomaly, train.py:423-424)")
+    p.add_argument("--debug_from", type=int, default=-1,
+                   help="from this iteration: per-step finite assertions on "
+                        "metrics/params, single-step dispatch (reference "
+                        "--debug_from, train.py:189-190)")
+    p.add_argument("--color_net_lr", type=float, default=1e-3)
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default="",
@@ -105,6 +113,7 @@ def config_from_args(a) -> Config:
             use_progressive_resolution=a.use_progressive_resolution or inn,
             use_color_calibration=a.use_color_calibration or inn,
             use_contrastive_reg=a.use_contrastive_reg or inn,
+            color_net_lr=a.color_net_lr,
         ),
     )
 
@@ -130,6 +139,11 @@ def load_flame_model(cfg: Config, flame_assets: str):
 def main(argv=None):
     a = parse_args(argv)
     cfg = config_from_args(a)
+    if a.detect_anomaly:
+        from gaussianavatars_tpu.utils.debug import enable_nan_debugging
+
+        enable_nan_debugging()
+        print("[debug] jax_debug_nans enabled (--detect_anomaly)")
     from gaussianavatars_tpu.training.loop import build_harness, train
 
     model = load_flame_model(cfg, a.flame_assets) if a.bind_to_mesh else None
@@ -156,9 +170,8 @@ def main(argv=None):
         except Exception as e:
             print(f"[warn] GUI server unavailable: {e}")
 
-    def on_step(it, rec):
-        if gui:
-            gui.service(harness, it)
+    # Serviced every dispatch (reference: every iteration, train.py:143-172).
+    gui_service = (lambda it: gui.service(harness, it)) if gui else None
 
     if a.mesh:
         from gaussianavatars_tpu.parallel.mesh import make_device_mesh
@@ -175,7 +188,8 @@ def main(argv=None):
             checkpoint_iterations=ckpts,
             gauss_shard=a.gauss_shard,
             seed=a.seed,
-            on_step=on_step,
+            gui_service=gui_service,
+            debug_from=a.debug_from,
         )
     else:
         train(
@@ -185,9 +199,10 @@ def main(argv=None):
             eval_every=iv,
             save_iterations=saves,
             checkpoint_iterations=ckpts,
-            on_step=on_step,
             seed=a.seed,
             steps_per_call=a.steps_per_call,
+            gui_service=gui_service,
+            debug_from=a.debug_from,
         )
 
 

@@ -250,6 +250,40 @@ def test_densify_slot_exhaustion_recovery(rendered_dataset, flame_model):
     assert harness.state.aux.alive.shape[0] == 2 * cap0
 
 
+def test_gui_service_every_dispatch_and_debug_from(rendered_dataset, flame_model):
+    """gui_service fires after every dispatch; a connected client (return
+    True) drops the loop to single-step chunks; debug_from also forces
+    single-stepping with finite assertions."""
+    cfg = _config(rendered_dataset)
+
+    calls = []
+    connected = {"v": False}
+
+    def gui(it):
+        calls.append(it)
+        return connected["v"]
+
+    h = build_harness(cfg, model=flame_model)
+    train(h, iterations=8, log_every=8, eval_every=0, prefetch_workers=2,
+          steps_per_call=4, gui_service=gui)
+    # Chunked: one call per dispatch (2 chunks of 4).
+    assert calls == [4, 8], calls
+
+    calls.clear()
+    connected["v"] = True
+    h2 = build_harness(cfg, model=flame_model)
+    train(h2, iterations=8, log_every=8, eval_every=0, prefetch_workers=2,
+          steps_per_call=4, gui_service=gui)
+    # Client discovered at the end of the first (chunked) dispatch; from
+    # then on the loop single-steps so every iteration is serviced.
+    assert calls == [4, 5, 6, 7, 8], calls
+
+    h3 = build_harness(cfg, model=flame_model)
+    logs = train(h3, iterations=4, log_every=1, eval_every=0,
+                 prefetch_workers=2, steps_per_call=4, debug_from=0)
+    assert [r["iteration"] for r in logs] == [1, 2, 3, 4]
+
+
 def test_chunk_boundary_pre_vs_post_step_events():
     """Chunks must end one iteration BEFORE pre-step config changes (SH
     warm-up at multiples of 1000, resolution milestones) and AT post-step
