@@ -195,6 +195,7 @@ def _bwd_kernel_moments(
     tw: int,
     ntx: int,
     capacity: int,
+    amp: bool = False,
 ):
     """Backward replay, restructured around two MXU contractions per chunk.
 
@@ -295,14 +296,22 @@ def _bwd_kernel_moments(
         w_all = jnp.stack(w_list)
 
         # [K,rows,128] × [rows,128,F] — rows batched, lanes contracted → MXU.
+        # Under the AMP policy the contraction inputs drop to bf16 (one MXU
+        # pass, f32 accumulation): ~0.4% relative gradient error, quantified
+        # in tests/test_amp.py.
+        if amp:
+            d_p = d_p.astype(jnp.bfloat16)
+            w_all = w_all.astype(jnp.bfloat16)
+        bs = basis.astype(jnp.bfloat16) if amp else basis
+        gm = gmat.astype(jnp.bfloat16) if amp else gmat
         dims = (((2,), (1,)), ((1,), (0,)))
         mom = jnp.sum(
-            jax.lax.dot_general(d_p, basis, dims,
+            jax.lax.dot_general(d_p, bs, dims,
                                 preferred_element_type=jnp.float32),
             axis=0,
         )  # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy, ·, ·
         dl = jnp.sum(
-            jax.lax.dot_general(w_all, gmat, dims,
+            jax.lax.dot_general(w_all, gm, dims,
                                 preferred_element_type=jnp.float32),
             axis=0,
         )  # [K, 3]
@@ -511,7 +520,7 @@ def _moment_basis(th: int, tw: int) -> np.ndarray:
     return np.stack(cols, axis=-1)
 
 
-def _bwd_call(res: _Res, g_acc_t, g_t, th, tw, ntx):
+def _bwd_call(res: _Res, g_acc_t, g_t, th, tw, ntx, amp=False):
     """g_acc_t: [NT, P, 3] cotangent of acc (pixel-major layout)."""
     nt, c = res.g_opac.shape
     p = th * tw
@@ -519,7 +528,8 @@ def _bwd_call(res: _Res, g_acc_t, g_t, th, tw, ntx):
     g_acc = jnp.moveaxis(g_acc_t, 2, 1)  # [NT, 3, P] plane layout
     use_moments = os.environ.get("GSAVATARS_BWD_IMPL", "moments") == "moments"
     kern_fn = _bwd_kernel_moments if use_moments else _bwd_kernel
-    kern = functools.partial(kern_fn, th=th, tw=tw, ntx=ntx, capacity=c)
+    kw = {"amp": amp} if use_moments else {}
+    kern = functools.partial(kern_fn, th=th, tw=tw, ntx=ntx, capacity=c, **kw)
     moment_specs = ([pl.BlockSpec((rows, 128, 8), lambda i, *_: (0, 0, 0))]
                     if use_moments else [])
     gacct_specs = ([pl.BlockSpec((1, rows, 128, 3), lambda i, *_: (i, 0, 0, 0))]
@@ -567,27 +577,29 @@ def _bwd_call(res: _Res, g_acc_t, g_t, th, tw, ntx):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def composite_tiles_pallas(geom, g_mean2d, g_conic, g_color, g_opac, counts):
-    """Pallas tile compositor. `geom` = static (th, tw, ntx); `counts` is the
-    per-tile Gaussian count from `bin_gaussians` (integer, non-diff).
+    """Pallas tile compositor. `geom` = static (th, tw, ntx[, amp]); `counts`
+    is the per-tile Gaussian count from `bin_gaussians` (integer, non-diff).
+    `amp` selects bf16 inputs for the backward's MXU contractions.
 
     Returns (acc [NT, P, 3] premultiplied colour, t_final [NT, P]).
     """
-    th, tw, ntx = geom
+    th, tw, ntx = geom[:3]
     acc, tfin, _stop = _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx)
     return jnp.moveaxis(acc, 1, 2), tfin
 
 
 def _pallas_fwd(geom, g_mean2d, g_conic, g_color, g_opac, counts):
-    th, tw, ntx = geom
+    th, tw, ntx = geom[:3]
     acc, tfin, stop = _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx)
     res = _Res(g_mean2d, g_conic, g_color, g_opac, counts, acc, tfin, stop)
     return (jnp.moveaxis(acc, 1, 2), tfin), res
 
 
 def _pallas_bwd(geom, res: _Res, cot):
-    th, tw, ntx = geom
+    th, tw, ntx = geom[:3]
+    amp = geom[3] if len(geom) > 3 else False
     g_acc, g_t = cot  # g_acc: [NT, P, 3]
-    d_mean, d_conic, d_color, d_opac = _bwd_call(res, g_acc, g_t, th, tw, ntx)
+    d_mean, d_conic, d_color, d_opac = _bwd_call(res, g_acc, g_t, th, tw, ntx, amp=amp)
     d_counts = np.zeros(res.counts.shape, dtype=jax.dtypes.float0)
     return d_mean, d_conic, d_color, d_opac, d_counts
 
@@ -595,7 +607,7 @@ def _pallas_bwd(geom, res: _Res, cot):
 composite_tiles_pallas.defvjp(_pallas_fwd, _pallas_bwd)
 
 
-def make_pallas_compositor(counts, th: int, tw: int, ntx: int):
+def make_pallas_compositor(counts, th: int, tw: int, ntx: int, amp: bool = False):
     """Adapter matching the `composite_tiles` call signature used by
     `rasterize_binned` (tile_origin is ignored — pixel origins are derived
     from the program id and the static grid width)."""
@@ -603,7 +615,7 @@ def make_pallas_compositor(counts, th: int, tw: int, ntx: int):
 
     def call(tile_origin, g_mean2d, g_conic, g_color, g_opac, cfg=None):
         return composite_tiles_pallas(
-            (th, tw, ntx), g_mean2d, g_conic, g_color, g_opac, counts
+            (th, tw, ntx, amp), g_mean2d, g_conic, g_color, g_opac, counts
         )
 
     return call

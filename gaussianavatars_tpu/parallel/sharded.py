@@ -320,7 +320,8 @@ def make_sharded_train_step(
             else:
                 l1 = l1_loss(img, gt_full) * (1.0 - o.lambda_dssim)
             s = (1.0 - ssim(jnp.transpose(img, (2, 0, 1)),
-                            jnp.transpose(gt_full, (2, 0, 1)))) * o.lambda_dssim
+                            jnp.transpose(gt_full, (2, 0, 1)),
+                            amp=o.use_amp)) * o.lambda_dssim
             extra = jnp.zeros(())
             if color_net is not None and o.lambda_color_reg > 0:
                 extra = extra + color_net_reg(color_net) * o.lambda_color_reg

@@ -62,13 +62,19 @@ def _band_matrix(n: int, window: int, sigma: float):
 _BLUR_MATMUL_MAX = 2048
 
 
-def _depthwise_blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
+def _depthwise_blur(img: jnp.ndarray, window: int, sigma: float,
+                    amp: bool = False) -> jnp.ndarray:
     """Separable Gaussian blur of [C, H, W] with SAME (zero) padding.
 
     Formulated as two banded-matrix matmuls (MXU) rather than depthwise
     convolutions: measured 2.6× faster on v5e AND exact — the TPU conv
     lowering accumulates in bf16 (~2e-3 error at 11×11) while the matmuls
-    match the f64 reference to f32 resolution."""
+    match the f64 reference to f32 resolution.
+
+    `amp=True` runs the matmuls with bf16 inputs and f32 accumulation
+    (one MXU pass instead of HIGHEST's six): ~2e-3 absolute blur error at
+    11×11 on [0,1] images — the mixed-precision policy behind
+    `OptimizationConfig.use_amp` (reference AMP: train.py:69-72)."""
     c, h, w = img.shape
     if max(h, w) > _BLUR_MATMUL_MAX:
         g = jnp.asarray(_gaussian_window(window, sigma))
@@ -88,20 +94,28 @@ def _depthwise_blur(img: jnp.ndarray, window: int, sigma: float) -> jnp.ndarray:
         return x[0]
     gh = jnp.asarray(_band_matrix(h, window, sigma))
     gw = jnp.asarray(_band_matrix(w, window, sigma))
+    if amp:
+        bf = jnp.bfloat16
+        y = jnp.matmul(gh.astype(bf), img.astype(bf),
+                       preferred_element_type=jnp.float32)
+        return jnp.matmul(y.astype(bf), gw.T.astype(bf),
+                          preferred_element_type=jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     y = jnp.matmul(gh, img, precision=hi)       # [C, H, W] (batched over C)
     return jnp.matmul(y, gw.T, precision=hi)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window: int = SSIM_WINDOW,
-         sigma: float = SSIM_SIGMA) -> jnp.ndarray:
+         sigma: float = SSIM_SIGMA, amp: bool = False) -> jnp.ndarray:
     """Mean SSIM of two [C, H, W] images in [0,1] (`utils/loss_utils.py:33-63`).
 
-    All five blurs batch into one pair of banded matmuls (channel concat)."""
+    All five blurs batch into one pair of banded matmuls (channel concat).
+    `amp=True` → bf16 matmul inputs / f32 accumulation (see
+    `_depthwise_blur`); measured |ΔSSIM| ≲ 1e-3 on natural images."""
     stack = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
     )
-    b = _depthwise_blur(stack, window, sigma)
+    b = _depthwise_blur(stack, window, sigma, amp=amp)
     mu1, mu2, s1r, s2r, s12r = jnp.split(b, 5, axis=0)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     s1 = s1r - mu1_sq

@@ -299,7 +299,8 @@ def make_train_step(
 
                 _nty, ntx = tile_cfg.grid(H, W)
                 step_compositor = make_pallas_compositor(
-                    binned.counts, tile_cfg.tile_h, tile_cfg.tile_w, ntx
+                    binned.counts, tile_cfg.tile_h, tile_cfg.tile_w, ntx,
+                    amp=o.use_amp,
                 )
             else:
                 step_compositor = composite_tiles
@@ -334,7 +335,7 @@ def make_train_step(
                 losses["l1"] = l1_loss(img, gt_image) * (1.0 - o.lambda_dssim)
             chw = jnp.transpose(img, (2, 0, 1))
             gt_chw = jnp.transpose(gt_image, (2, 0, 1))
-            losses["ssim"] = (1.0 - ssim(chw, gt_chw)) * o.lambda_dssim
+            losses["ssim"] = (1.0 - ssim(chw, gt_chw, amp=o.use_amp)) * o.lambda_dssim
             if color_net is not None and o.lambda_color_reg > 0:
                 losses["color_reg"] = color_net_reg(color_net) * o.lambda_color_reg
             if state.contrastive is not None and o.lambda_contrastive > 0:

@@ -73,6 +73,10 @@ def parse_args(argv=None):
                         "metrics/params, single-step dispatch (reference "
                         "--debug_from, train.py:189-190)")
     p.add_argument("--color_net_lr", type=float, default=1e-3)
+    p.add_argument("--use_amp", action="store_true",
+                   help="mixed-precision policy: bf16 MXU inputs for SSIM "
+                        "blurs and backward-compositor contractions, f32 "
+                        "accumulation/state (reference AMP, train.py:69-72)")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=str, default="",
@@ -114,6 +118,7 @@ def config_from_args(a) -> Config:
             use_color_calibration=a.use_color_calibration or inn,
             use_contrastive_reg=a.use_contrastive_reg or inn,
             color_net_lr=a.color_net_lr,
+            use_amp=a.use_amp,
         ),
     )
 
