@@ -365,10 +365,17 @@ def _post_step_events(
     bg,
     save_set: set,
     ckpt_set: set,
+    coordinator: bool = True,
 ) -> None:
     """Densify / opacity-reset / eval / save / checkpoint at the standard
     cadences (`train.py:264-289` in the reference). Shared by `train` and
-    `train_sharded` so the event logic cannot drift between drivers."""
+    `train_sharded` so the event logic cannot drift between drivers.
+
+    Multi-host: state-mutating events (densify, opacity reset, capacity
+    growth) run on EVERY process — they are deterministic functions of the
+    replicated state, so all processes stay in lockstep. Only I/O (eval
+    render, save, checkpoint, TensorBoard, prints) is gated on
+    `coordinator` (process 0)."""
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
     if (o.densify_from_iter <= it < o.densify_until_iter
@@ -379,10 +386,11 @@ def _post_step_events(
                 writer.add_scalar(f"densify/{k}", report[k], it)
         if report.get("dropped", 0) > 0:
             new_cap = grow_gauss_capacity_event(harness)
-            print(
-                f"[warn] densify dropped {report['dropped']} grow requests — "
-                f"Gaussian capacity doubled to {new_cap} (will retrace)"
-            )
+            if coordinator:
+                print(
+                    f"[warn] densify dropped {report['dropped']} grow requests "
+                    f"— Gaussian capacity doubled to {new_cap} (will retrace)"
+                )
     # Reference resets opacity on the interval AND once at densify_from_iter
     # for white-background scenes (train.py:272-273).
     if it < o.densify_until_iter and (
@@ -390,26 +398,37 @@ def _post_step_events(
         or (cfg.model.white_background and it == o.densify_from_iter)
     ):
         opacity_reset_event(harness)
-    if eval_every and it % eval_every == 0:
+    # Multi-host: coordinator-only jits must not touch multi-process global
+    # arrays (that would be a collective the other processes never join —
+    # deadlock). Detach a process-local copy of the replicated state first.
+    ev_harness = harness
+    if coordinator and jax.process_count() > 1 and (
+        (eval_every and it % eval_every == 0) or it in save_set or it in ckpt_set
+    ):
+        local_state = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)), harness.state
+        )
+        ev_harness = dataclasses.replace(harness, state=local_state)
+    if coordinator and eval_every and it % eval_every == 0:
         for split in ("val", "test"):
             m = evaluate_split(
-                harness, split, render_fn, sh_deg, max_views=eval_views, bg=bg
+                ev_harness, split, render_fn, sh_deg, max_views=eval_views, bg=bg
             )
             if m:
                 print(f"  [eval {split}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
                 if writer:
                     writer.add_scalar(f"{split}/psnr", m["psnr"], it)
                     writer.add_scalar(f"{split}/ssim", m["ssim"], it)
-    if it in save_set:
+    if coordinator and it in save_set:
         flame_param = (
-            flame_table_from_state(harness.state, scene.flame_table)
+            flame_table_from_state(ev_harness.state, scene.flame_table)
             if model is not None else None
         )
-        scene.save(it, harness.state.params, harness.state.aux, flame_param)
-    if it in ckpt_set:
+        scene.save(it, ev_harness.state.params, ev_harness.state.aux, flame_param)
+    if coordinator and it in ckpt_set:
         save_train_state(
             os.path.join(cfg.model.model_path, f"chkpnt{it}.npz"),
-            harness.state, it,
+            ev_harness.state, it,
         )
 
 
@@ -736,8 +755,15 @@ def train_sharded(
         hp_d = padded_height(template_d.height, tcfg.tile_h, n_tile)
         return step_cache[div], fetch, cams_d, hp_d, sampler_d
 
+    from ..parallel.distributed import (
+        is_coordinator, local_data_rows, make_global_batch,
+    )
+
+    coord = is_coordinator()
+    multiproc = jax.process_count() > 1
+    local_rows = local_data_rows(mesh) if multiproc else list(range(n_data))
     render_fn = make_render_fn(model, cfg, tcfg)
-    writer = _maybe_tensorboard(cfg.model.model_path)
+    writer = _maybe_tensorboard(cfg.model.model_path) if coord else None
     logs: List[dict] = []
     ema = None
     t0 = time.time()
@@ -760,7 +786,16 @@ def train_sharded(
             # come from the scale's template. GT ships in the cache dtype
             # (uint8 = 4x less reshard traffic); the step converts on device.
             cams = camera_batch([cams_all[v] for v in views])
-            gt = pad_gt_for_mesh(fetch(views), hp)
+            if multiproc:
+                # The sampler is seed-deterministic, so every process draws
+                # the same view list; each fetches GT only for the data rows
+                # its devices own and contributes them to a global array.
+                gt_local = np.asarray(
+                    pad_gt_for_mesh(fetch([views[r] for r in local_rows]), hp)
+                )
+                cams, gt = make_global_batch(mesh, cams, gt_local, local_rows)
+            else:
+                gt = pad_gt_for_mesh(fetch(views), hp)
             harness.state, metrics = step(
                 harness.state, cams, gt, bg, sh_degree=sh_deg
             )
@@ -783,19 +818,24 @@ def train_sharded(
                     "elapsed_s": time.time() - t0,
                 }
                 logs.append(rec)
-                print(f"[{it}/{iterations}] loss={loss:.5f} ema={ema:.5f} "
-                      f"psnr={rec['psnr']:.2f} pts={rec['num_points']}")
+                if coord:
+                    print(f"[{it}/{iterations}] loss={loss:.5f} ema={ema:.5f} "
+                          f"psnr={rec['psnr']:.2f} pts={rec['num_points']}")
                 if writer:
                     for k in ("loss", "psnr", "num_points"):
                         writer.add_scalar(f"train/{k}", rec[k], it)
                 if on_step:
                     on_step(it, rec)
                 if float(metrics["overflow"]) > 0:
+                    # overflow is mesh-reduced (replicated metric), so every
+                    # process takes this branch together and recompiles to
+                    # the same capacity.
                     tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
-                    print(
-                        f"[warn] tile capacity overflow — doubled to "
-                        f"{tcfg.capacity} (recompiling sharded steps)"
-                    )
+                    if coord:
+                        print(
+                            f"[warn] tile capacity overflow — doubled to "
+                            f"{tcfg.capacity} (recompiling sharded steps)"
+                        )
                     step_cache.clear()
 
             _post_step_events(
@@ -803,6 +843,7 @@ def train_sharded(
                 writer=writer, render_fn=render_fn, eval_every=eval_every,
                 eval_views=eval_views, bg=bg,
                 save_set=save_set, ckpt_set=ckpt_set,
+                coordinator=coord,
             )
     finally:
         if writer:

@@ -83,6 +83,15 @@ def parse_args(argv=None):
                    help="multi-chip mesh 'DATAxTILE' (e.g. 2x4): train with "
                         "cameras sharded over 'data' and tile rows over "
                         "'tile' (parallel/sharded.py)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize before any "
+                        "backend use; mesh spans all processes' devices "
+                        "(docs/multichip.md)")
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0 (auto-discovered on Cloud "
+                        "TPU; env JAX_COORDINATOR_ADDRESS also honoured)")
+    p.add_argument("--num_processes", type=int, default=-1)
+    p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--gauss_shard", action="store_true",
                    help="with --mesh: also shard per-Gaussian geometry over "
                         "the tile axis")
@@ -143,6 +152,15 @@ def load_flame_model(cfg: Config, flame_assets: str):
 
 def main(argv=None):
     a = parse_args(argv)
+    if a.distributed:
+        # Must precede every other JAX call (device queries included).
+        from gaussianavatars_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=a.coordinator_address or None,
+            num_processes=a.num_processes if a.num_processes > 0 else None,
+            process_id=a.process_id if a.process_id >= 0 else None,
+        )
     cfg = config_from_args(a)
     if a.detect_anomaly:
         from gaussianavatars_tpu.utils.debug import enable_nan_debugging
@@ -165,8 +183,10 @@ def main(argv=None):
         set(list(range(iv * 6, a.iterations + 1, iv * 6)) + [a.iterations])
     )
 
+    from gaussianavatars_tpu.parallel.distributed import is_coordinator
+
     gui = None
-    if a.port:
+    if a.port and is_coordinator():
         try:
             from gaussianavatars_tpu.viewers.network_gui import TrainingGuiServer
 

@@ -284,6 +284,61 @@ def test_gui_service_every_dispatch_and_debug_from(rendered_dataset, flame_model
     assert [r["iteration"] for r in logs] == [1, 2, 3, 4]
 
 
+def test_sharded_rank_safety(rendered_dataset, flame_model, tmp_path, monkeypatch):
+    """A non-coordinator process must train in lockstep (densify etc.) but
+    write NO files and print nothing (multi-host discipline,
+    docs/multichip.md)."""
+    import io
+    import jax
+    from contextlib import redirect_stdout
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import gaussianavatars_tpu.parallel.distributed as dist
+    from gaussianavatars_tpu.parallel.mesh import make_device_mesh
+    from gaussianavatars_tpu.training.loop import train_sharded
+
+    monkeypatch.setattr(dist, "is_coordinator", lambda: False)
+    cfg = _config(rendered_dataset, model_path=str(tmp_path / "rank1"), iters=12)
+    harness = build_harness(cfg, model=flame_model)
+    mesh = make_device_mesh(data=2, tile=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        logs = train_sharded(
+            harness, mesh, iterations=12, log_every=4, eval_every=6,
+            save_iterations=[12], checkpoint_iterations=[12],
+        )
+    # Training ran (logs collected, loss finite) ...
+    assert logs and np.isfinite(logs[-1]["loss"])
+    # ... but a non-coordinator wrote nothing and printed nothing.
+    out_dir = tmp_path / "rank1"
+    assert not (out_dir / "point_cloud").exists()
+    assert not (out_dir / "chkpnt12.npz").exists()
+    assert buf.getvalue() == "", buf.getvalue()
+
+
+def test_distributed_helpers_single_process():
+    """local_data_rows / make_global_batch fast paths on one process."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from gaussianavatars_tpu.parallel.distributed import (
+        is_coordinator, local_data_rows, make_global_batch,
+    )
+    from gaussianavatars_tpu.parallel.mesh import make_device_mesh
+
+    assert is_coordinator()
+    mesh = make_device_mesh(data=2, tile=4)
+    assert local_data_rows(mesh) == [0, 1]
+    gt = np.zeros((2, 16, 16, 3), np.uint8)
+    cams = {"t": jnp.arange(2)}
+    cams2, gt2 = make_global_batch(mesh, cams, gt, [0, 1])
+    assert cams2 is cams and gt2.shape == gt.shape
+
+
 def test_chunk_boundary_pre_vs_post_step_events():
     """Chunks must end one iteration BEFORE pre-step config changes (SH
     warm-up at multiples of 1000, resolution milestones) and AT post-step
