@@ -21,6 +21,7 @@ in the donated TrainState pytree on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -229,11 +230,26 @@ def make_render_fn(model: Optional[FlameModel], cfg: Config, tcfg: TileConfig):
     return jax.jit(render, static_argnames=("sh_degree",))
 
 
+@functools.lru_cache(maxsize=1)
+def _eval_lpips_params():
+    """LPIPS weights for training-time eval ($GSAVATARS_LPIPS_WEIGHTS; the
+    reference evaluates LPIPS every interval, train.py:375-384). Cached —
+    None when the licensed weights are not available."""
+    from ..metrics.lpips import maybe_load_default
+
+    return maybe_load_default()
+
+
 def evaluate_split(
     harness: TrainerHarness, split: str, render_fn, sh_degree: int,
     max_views: Optional[int] = None, bg: Optional[jnp.ndarray] = None,
-) -> Dict[str, float]:
-    """PSNR/SSIM over a split (`training_report`, `train.py:313-394`)."""
+    return_images: bool = False,
+):
+    """PSNR/SSIM[/LPIPS] over a split (`training_report`, `train.py:313-394`).
+
+    LPIPS is included when $GSAVATARS_LPIPS_WEIGHTS points at a converted
+    checkpoint (metrics/lpips.py). `return_images=True` additionally returns
+    the first rendered/gt pair for TensorBoard image logging."""
     scene, cfg = harness.scene, harness.cfg
     cams = scene.cameras(split)
     recs = scene.records(split)
@@ -242,17 +258,30 @@ def evaluate_split(
     if bg is None:
         bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
     n = len(cams) if max_views is None else min(max_views, len(cams))
-    psnrs, ssims = [], []
+    lp = _eval_lpips_params()
+    psnrs, ssims, lpipss = [], [], []
+    first_pair = None
     for i in range(n):
         gt = jnp.asarray(load_view(recs[i], cams[i]))
         img = render_fn(harness.state, jit_static_key(cams[i]),
                         jnp.int32(cams[i].timestep), bg, sh_degree)
         img = jnp.clip(img, 0.0, 1.0)
+        if i == 0 and return_images:
+            first_pair = (np.asarray(img), np.asarray(gt))
         psnrs.append(float(psnr_fn(img, gt)))
         ssims.append(float(ssim_fn(
             jnp.transpose(img, (2, 0, 1)), jnp.transpose(gt, (2, 0, 1))
         )))
-    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)), "n": n}
+        if lp is not None:
+            from ..metrics.lpips import lpips as lpips_fn
+
+            lpipss.append(float(lpips_fn(lp, img, gt)))
+    m = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)), "n": n}
+    if lpipss:
+        m["lpips"] = float(np.mean(lpipss))
+    if return_images:
+        return m, first_pair
+    return m
 
 
 def densify_event(harness: TrainerHarness, iteration: int) -> dict:
@@ -411,14 +440,41 @@ def _post_step_events(
         ev_harness = dataclasses.replace(harness, state=local_state)
     if coordinator and eval_every and it % eval_every == 0:
         for split in ("val", "test"):
-            m = evaluate_split(
+            m, pair = evaluate_split(
+                ev_harness, split, render_fn, sh_deg, max_views=eval_views,
+                bg=bg, return_images=True,
+            ) if writer else (evaluate_split(
                 ev_harness, split, render_fn, sh_deg, max_views=eval_views, bg=bg
-            )
+            ), None)
             if m:
-                print(f"  [eval {split}] psnr={m['psnr']:.2f} ssim={m['ssim']:.4f}")
+                extra = f" lpips={m['lpips']:.4f}" if "lpips" in m else ""
+                print(f"  [eval {split}] psnr={m['psnr']:.2f} "
+                      f"ssim={m['ssim']:.4f}{extra}")
                 if writer:
                     writer.add_scalar(f"{split}/psnr", m["psnr"], it)
                     writer.add_scalar(f"{split}/ssim", m["ssim"], it)
+                    if "lpips" in m:
+                        writer.add_scalar(f"{split}/lpips", m["lpips"], it)
+            if writer and pair is not None:
+                # Render / GT / seismic error map images + opacity histogram
+                # (reference logging set, train.py:326-346,385-391).
+                from ..utils.image import error_map
+
+                img, gt = pair
+                writer.add_image(f"{split}/render", img, it, dataformats="HWC")
+                writer.add_image(f"{split}/gt", gt, it, dataformats="HWC")
+                writer.add_image(
+                    f"{split}/error", error_map(img, gt), it, dataformats="HWC"
+                )
+        if writer:
+            alive = np.asarray(ev_harness.state.aux.alive)
+            opac = 1.0 / (1.0 + np.exp(
+                -np.asarray(ev_harness.state.params.logit_opacity[:, 0])
+            ))
+            opac = opac[alive]
+            if opac.size:
+                writer.add_histogram("scene/opacity", opac, it)
+            writer.add_scalar("scene/total_points", int(alive.sum()), it)
     if coordinator and it in save_set:
         flame_param = (
             flame_table_from_state(ev_harness.state, scene.flame_table)

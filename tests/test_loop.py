@@ -101,6 +101,41 @@ def test_evaluate_split(rendered_dataset, flame_model):
     assert m["n"] == 2 and np.isfinite(m["psnr"]) and 0 <= m["ssim"] <= 1
 
 
+def test_evaluate_split_with_lpips(rendered_dataset, flame_model, tmp_path,
+                                   monkeypatch):
+    """With $GSAVATARS_LPIPS_WEIGHTS present, training-time eval reports
+    LPIPS like the reference (`train.py:375-384`)."""
+    import jax.numpy as jnp
+
+    from gaussianavatars_tpu.metrics.lpips import (
+        ALEX_CONVS, synthetic_lpips_params,
+    )
+    from gaussianavatars_tpu.training.loop import (
+        _eval_lpips_params, make_render_fn, tile_config,
+    )
+
+    p = synthetic_lpips_params(net_type="alex")
+    out = {"net_type": np.array("alex")}
+    for i, w in enumerate(p.conv_w):
+        out[f"conv_w_{i}"] = np.asarray(w)
+        out[f"conv_b_{i}"] = np.asarray(p.conv_b[i])
+    for i, w in enumerate(p.lin_w):
+        out[f"lin_w_{i}"] = np.asarray(w)
+    wpath = str(tmp_path / "lpips.npz")
+    np.savez(wpath, **out)
+
+    monkeypatch.setenv("GSAVATARS_LPIPS_WEIGHTS", wpath)
+    _eval_lpips_params.cache_clear()
+    try:
+        cfg = _config(rendered_dataset)
+        harness = build_harness(cfg, model=flame_model)
+        render_fn = make_render_fn(flame_model, cfg, tile_config(cfg))
+        m = evaluate_split(harness, "val", render_fn, sh_degree=0, max_views=1)
+        assert "lpips" in m and np.isfinite(m["lpips"]) and m["lpips"] > 0, m
+    finally:
+        _eval_lpips_params.cache_clear()
+
+
 def test_densify_changes_point_count(rendered_dataset, flame_model):
     cfg = _config(rendered_dataset)
     harness = build_harness(cfg, model=flame_model)
