@@ -99,6 +99,11 @@ def convert_flame_pickle(
             parts = parts.item()
         for k, v in dict(parts).items():
             masks[k] = np.asarray(v, np.int32)
+        # Part-dependent regions (hair, ears, eyeballs, sclerae, skin,
+        # left/right_eye — `flame_model/flame.py:784-815`).
+        from .regions import combine_with_parts
+
+        masks.update(combine_with_parts(masks, num_verts=verts.shape[0]))
 
     if lmk_embedding_npy is not None:
         emb = np.load(lmk_embedding_npy, allow_pickle=True, encoding="latin1")[()]

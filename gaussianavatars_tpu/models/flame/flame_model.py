@@ -223,7 +223,10 @@ class FlameModel:
         out = [self.assets.vertex_masks[r] for r in regions if r in self.assets.vertex_masks]
         if not out:
             return np.zeros((0,), np.int32)
-        return np.unique(np.concatenate(out))
+        vids = np.unique(np.concatenate(out))
+        # Region tables are FLAME-5023 topology data; synthetic debug
+        # topologies have fewer vertices — clip instead of crashing.
+        return vids[vids < self.num_verts]
 
     def fid_by_region(self, regions: list[str], min_verts: int = 3) -> np.ndarray:
         """Faces with ≥ `min_verts` vertices inside the union of regions

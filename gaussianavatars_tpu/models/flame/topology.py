@@ -49,16 +49,23 @@ RIGHT_IRIS = np.arange(4477, 4605, dtype=np.int32)
 
 
 def builtin_vertex_masks() -> dict[str, np.ndarray]:
-    """The custom masks available without FLAME_masks.pkl."""
-    return {
+    """All custom masks available without FLAME_masks.pkl: the reference's
+    full explicitly-enumerated region set (`regions.CUSTOM_REGIONS`,
+    `flame_model/flame.py:641-815`) plus their list-only unions, with this
+    module's legacy aliases kept for the teeth-synthesis and
+    region-adaptive-loss consumers."""
+    from .regions import CUSTOM_REGIONS, derived_regions
+
+    masks = {k: np.asarray(v, np.int32) for k, v in CUSTOM_REGIONS.items()}
+    masks.update(derived_regions(masks))
+    masks.update({
         "lip_outside_ring_upper": LIP_OUTSIDE_RING_UPPER,
         "lip_outside_ring_lower": LIP_OUTSIDE_RING_LOWER,
         "lip_inside_ring_upper": LIP_INSIDE_RING_UPPER,
         "lip_inside_ring_lower": LIP_INSIDE_RING_LOWER,
-        "left_iris": LEFT_IRIS,
-        "right_iris": RIGHT_IRIS,
         **{
             name: np.arange(lo, hi, dtype=np.int32)
             for name, (lo, hi) in REGION_RANGES.items()
         },
-    }
+    })
+    return masks

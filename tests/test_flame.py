@@ -132,3 +132,58 @@ def test_laplacian_loss_zero_for_identical():
     assert float(model.laplacian_loss(verts, verts)) == 0.0
     moved = verts.at[:, ::7].add(0.01)
     assert float(model.laplacian_loss(moved, verts)) > 0
+
+
+def test_full_custom_region_set():
+    """The reference FlameMask's ~20 custom regions ship complete
+    (`flame_model/flame.py:641-815` — extracted topology data)."""
+    import numpy as np
+
+    from gaussianavatars_tpu.models.flame.regions import (
+        CUSTOM_REGIONS, derived_regions,
+    )
+    from gaussianavatars_tpu.models.flame.topology import builtin_vertex_masks
+
+    expected_sizes = {
+        "neck_top": 34, "lip_inside_ring_upper": 15, "lip_inside_ring_lower": 15,
+        "lip_outside_ring_upper": 15, "lip_outside_ring_lower": 15,
+        "lip_inside_upper": 51, "lip_inside_lower": 45, "lip_inside": 128,
+        "neck_upper": 149, "neck_lower": 130, "neck_base": 21, "bottomline": 30,
+        "left_iris": 97, "right_iris": 97, "left_eyelid": 146,
+        "right_eyelid": 146, "lips_tight": 214, "left_half": 2569,
+        "right_half": 2569,
+    }
+    for name, size in expected_sizes.items():
+        assert name in CUSTOM_REGIONS, name
+        assert CUSTOM_REGIONS[name].shape == (size,), name
+        assert CUSTOM_REGIONS[name].max() < 5023
+    # Spot-check membership against the reference tables.
+    assert CUSTOM_REGIONS["neck_left_point"][0] == 3193
+    assert CUSTOM_REGIONS["neck_right_point"][0] == 3296
+    assert CUSTOM_REGIONS["left_eyelid"][0] == 807
+    assert CUSTOM_REGIONS["lips_tight"][-1] == 3549
+    d = derived_regions(CUSTOM_REGIONS)
+    assert d["irises"].shape == (194,)
+    assert d["eyelids"].shape == (292,)
+    assert d["lip_inside_ring"].shape == (32,)
+    assert 1594 in d["lip_inside_ring"] and 2730 in d["lip_inside_ring"]
+    # And they all surface through the assets' mask table.
+    masks = builtin_vertex_masks()
+    for name in list(expected_sizes) + ["irises", "eyelids", "lip_inside_ring"]:
+        assert name in masks, name
+    # halves cover every FLAME vertex between them
+    both = np.union1d(masks["left_half"], masks["right_half"])
+    assert both.size >= 5023 - 100  # shared midline counted once
+
+
+def test_fid_except_region_filtering():
+    """`disable_fid`-style filtering parity
+    (`scene/flame_gaussian_model.py:255-268`)."""
+    import numpy as np
+
+    model = small_model()
+    all_f = np.arange(model.num_faces)
+    sel = model.fid_by_region(["mouth"], min_verts=1)
+    rest = model.fid_except_region(["mouth"])
+    assert np.array_equal(np.union1d(sel, rest), all_f)
+    assert np.intersect1d(sel, rest).size == 0
