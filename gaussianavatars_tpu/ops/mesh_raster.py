@@ -152,16 +152,27 @@ def render_mesh_preview(
     background: Optional[jnp.ndarray] = None,
     lighting: str = "front",   # 'front' | 'constant'
     chunk: int = 2048,
+    antialias: int = 2,        # supersampling factor (1 = off)
 ):
     """Flat-shaded mesh preview through a 3DGS camera.
 
     Equivalent of `NVDiffRenderer.render_from_camera` (diffuse term only,
     `mesh_renderer/__init__.py:141-212`): RGBA output, front-lit flat
     shading, miss pixels filled with `background`.
+
+    `antialias` replaces `dr.antialias` (`mesh_renderer/__init__.py:267`):
+    the scene is rasterized at `antialias×` resolution and box-filtered
+    down, giving fractional silhouette/edge coverage on BOTH sides of every
+    edge (nvdiffrast's analytic pass smooths the same pixels; ordered
+    supersampling is the natural XLA formulation — the projection is
+    resolution-independent, so only the pixel grid scales). Preview-only:
+    cost is antialias², fine at viewer resolutions.
     """
+    aa = max(int(antialias), 1)
+    h, w = camera.height * aa, camera.width * aa
     vh = jnp.concatenate([verts, jnp.ones_like(verts[:, :1])], -1)
     verts_clip = vh @ camera.full_proj.T
-    rast = rasterize_mesh(verts_clip, faces, camera.height, camera.width, chunk=chunk)
+    rast = rasterize_mesh(verts_clip, faces, h, w, chunk=chunk)
 
     normals = face_normals(verts, faces)
     n_pix = normals[jnp.maximum(rast.face_id, 0)]        # [H, W, 3]
@@ -176,10 +187,25 @@ def render_mesh_preview(
     if background is None:
         background = jnp.zeros(3)
     rgb = rgb * alpha + background * (1.0 - alpha)
+    n_shaded = n_pix * alpha
+    if aa > 1:
+        down = lambda x: jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (aa, aa, 1), (aa, aa, 1), "VALID"
+        ) * (1.0 / (aa * aa))
+        rgb = down(rgb)
+        alpha = down(alpha)
+        n_shaded = down(n_shaded)
+        # face_id / depth stay hard (ID buffers cannot be averaged): take
+        # the top-left sample of each cell.
+        face_id = rast.face_id[::aa, ::aa]
+        depth = rast.depth[::aa, ::aa]
+    else:
+        face_id = rast.face_id
+        depth = rast.depth
     return {
         "rgba": jnp.concatenate([rgb, alpha], -1),
         "diffuse": rgb,
-        "normal": n_pix * alpha,
-        "face_id": rast.face_id,
-        "depth": rast.depth,
+        "normal": n_shaded,
+        "face_id": face_id,
+        "depth": depth,
     }

@@ -55,7 +55,10 @@ def test_render_mesh_preview_sphere():
     extent = float(np.abs(np.asarray(verts) - center).max())
     cam = look_at_camera(eye=center + np.array([0.0, 0.0, -4 * extent]),
                          target=center, fovy=0.6, width=64, height=48)
-    out = render_mesh_preview(verts, model.faces, cam, color=(0.8, 0.7, 0.6))
+    # antialias=1: this test checks hard shading invariants (unit normals);
+    # AA edge blending is covered by test_antialias_fractional_edges.
+    out = render_mesh_preview(verts, model.faces, cam, color=(0.8, 0.7, 0.6),
+                              antialias=1)
     cover = float(out["rgba"][..., 3].mean())
     assert 0.1 < cover < 0.9
     # Front-lit shading varies across the sphere
@@ -83,3 +86,35 @@ def test_chunking_invariance():
     o2 = rasterize_mesh(clip, faces, 32, 32, chunk=64)
     np.testing.assert_array_equal(np.asarray(o1.face_id), np.asarray(o2.face_id))
     np.testing.assert_allclose(np.asarray(o1.bary), np.asarray(o2.bary), atol=1e-6)
+
+
+def test_antialias_fractional_edges():
+    """AA (the dr.antialias analogue) must produce fractional alpha on
+    silhouette edges on BOTH sides, and not change interior pixels."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gaussianavatars_tpu.data.cameras import look_at_camera
+    from gaussianavatars_tpu.ops.mesh_raster import render_mesh_preview
+
+    # One triangle angled against the pixel grid.
+    verts = jnp.asarray(np.array([
+        [-0.61, -0.47, 0.0], [0.53, -0.31, 0.0], [0.07, 0.59, 0.0],
+    ], np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    cam = look_at_camera(eye=(0, 0, -2.0), fovy=0.9, width=64, height=48)
+
+    hard = render_mesh_preview(verts, faces, cam, antialias=1)
+    soft = render_mesh_preview(verts, faces, cam, antialias=2)
+    a_hard = np.asarray(hard["rgba"][..., 3])
+    a_soft = np.asarray(soft["rgba"][..., 3])
+    assert a_soft.shape == a_hard.shape
+    # Hard alpha is binary; AA alpha has fractional edge pixels.
+    assert set(np.unique(a_hard)) <= {0.0, 1.0}
+    frac = (a_soft > 0.05) & (a_soft < 0.95)
+    assert frac.sum() > 10, frac.sum()
+    # Interior/background bulk unchanged.
+    assert abs(a_soft.sum() - a_hard.sum()) / max(a_hard.sum(), 1) < 0.15
+    # Fractional pixels appear on the outside of the hard silhouette too.
+    assert np.any(frac & (a_hard == 0.0))
+    assert np.any(frac & (a_hard == 1.0))
