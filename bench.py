@@ -124,6 +124,30 @@ def main():
         "would be measured on partially rendered frames"
     )
 
+    # Speed-of-light model at this scene's actual occupancy
+    # (utils/roofline.py; BASELINE.md:32 asks for the %-of-SoL framing).
+    from gaussianavatars_tpu.utils.roofline import compositor_roofline
+
+    counts_np = np.asarray(binned0.counts)
+    # The binning sort covers the FULL padded [capacity, budget] pair list
+    # (sentinel keys for dead/unused slots sort to the end).
+    sol = compositor_roofline(
+        counts_np, TILE.capacity, TILE.tile_h * TILE.tile_w,
+        n_gauss=params.means.shape[0],
+        tiles_per_gauss=TILE.max_tiles_per_gaussian,
+        height=HEIGHT, width=WIDTH,
+    )
+    print(
+        "roofline (v5e): "
+        f"fwd {sol['t_fwd_vpu_ms']:.2f}ms + bwd {sol['t_bwd_vpu_ms']:.2f}ms "
+        f"+ sort {sol['t_sort_ms']:.2f}ms + gather {sol['t_gather_ms']:.2f}ms "
+        f"(HBM floor {sol['t_hbm_floor_ms']:.2f}ms) → "
+        f"SoL render {sol['sol_render_fps']:.0f} FPS, "
+        f"SoL train {sol['sol_train_iters_s']:.0f} it/s "
+        f"({sol['sol_train_mpix_s']:.0f} Mpix/s)",
+        file=sys.stderr,
+    )
+
     init = (jnp.zeros((HEIGHT, WIDTH, 3)), jnp.zeros(()))
     r = run_render(init)
     target = r[0]
@@ -172,12 +196,19 @@ def main():
     mpix = iters_per_s * WIDTH * HEIGHT / 1e6
     print(f"fwd+bwd: {iters_per_s:.2f} iters/s, {mpix:.1f} Mpix/s "
           f"({WIDTH}x{HEIGHT})", file=sys.stderr)
+    print(
+        f"pct of SoL: render {100 * fps / sol['sol_render_fps']:.0f}%, "
+        f"fwd+bwd {100 * iters_per_s / sol['sol_train_iters_s']:.0f}%",
+        file=sys.stderr,
+    )
 
     print(json.dumps({
         "metric": "render_fps_802x550_92k",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "pct_sol_render": round(100 * fps / sol["sol_render_fps"], 1),
+        "pct_sol_fwd_bwd": round(100 * iters_per_s / sol["sol_train_iters_s"], 1),
     }))
 
 
