@@ -22,6 +22,7 @@ from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -192,19 +193,33 @@ class ContrastiveCache(NamedTuple):
 
 
 def contrastive_init(cache_size: int, height: int, width: int, downsample: int = 8):
-    h, w = height // downsample, width // downsample
+    # `downsample` is the pooled OUTPUT size (the reference pools every
+    # render to a fixed downsample×downsample thumbnail via
+    # `F.adaptive_avg_pool2d(image, 8)`, contrastive_regularization.py:18,26)
+    # — so the cache shape is resolution-independent and survives
+    # progressive-resolution milestones. height/width are accepted for
+    # call-site symmetry but do not affect the cache shape.
+    del height, width
     return ContrastiveCache(
-        images=jnp.zeros((cache_size, h, w, 3)),
+        images=jnp.zeros((cache_size, downsample, downsample, 3)),
         count=jnp.zeros((), jnp.int32),
         head=jnp.zeros((), jnp.int32),
     )
 
 
-def _downsample(image: jnp.ndarray, factor: int) -> jnp.ndarray:
-    h = (image.shape[0] // factor) * factor
-    w = (image.shape[1] // factor) * factor
-    x = image[:h, :w].reshape(h // factor, factor, w // factor, factor, 3)
-    return x.mean(axis=(1, 3))
+def _downsample(image: jnp.ndarray, out: int) -> jnp.ndarray:
+    """Exact `adaptive_avg_pool2d(image, out)` via an integral image.
+
+    Bin i covers rows [floor(i*H/out), ceil((i+1)*H/out)) — torch's
+    adaptive-pooling boundaries — so non-divisible sizes match too."""
+    h, w, _ = image.shape
+    ii = jnp.pad(image, ((1, 0), (1, 0), (0, 0))).cumsum(0).cumsum(1)
+    i = np.arange(out)
+    ys, ye = (i * h) // out, -((-(i + 1) * h) // out)
+    xs, xe = (i * w) // out, -((-(i + 1) * w) // out)
+    s = ii[ye][:, xe] - ii[ys][:, xe] - ii[ye][:, xs] + ii[ys][:, xs]
+    area = ((ye - ys)[:, None] * (xe - xs)[None, :]).astype(image.dtype)
+    return s / area[..., None]
 
 
 def contrastive_loss(cache: ContrastiveCache, image: jnp.ndarray, downsample: int) -> jnp.ndarray:

@@ -41,6 +41,21 @@ def parse_args(argv=None):
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--steps_per_call", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--all_innovations", action="store_true",
+                   help="run the 5 training innovations (progressive "
+                        "resolution milestones at 1/3 and 2/3 of the run)")
+    p.add_argument("--use_amp", action="store_true")
+    p.add_argument("--opacity_reset_interval", type=int, default=0,
+                   help="0 = never (default); the quality profile sets this "
+                        "so resets actually fire like the 600k recipe")
+    p.add_argument("--densify_grad_threshold", type=float, default=0.0002)
+    p.add_argument("--json_out", default="",
+                   help="write the log trajectory + final eval metrics here")
+    p.add_argument("--quality", action="store_true",
+                   help="the QUALITY.md operating point: 802x550, initial "
+                        "1/face splats grown by densification, opacity "
+                        "resets, SH warm-up, all 5 innovations "
+                        "(VERDICT round-1 item 3)")
     return p.parse_args(argv)
 
 
@@ -144,8 +159,32 @@ def write_dataset(a, model, params, aux):
           f"{a.width}x{a.height}, {a.timesteps} timesteps")
 
 
+def apply_quality_profile(a, parser_defaults):
+    """The QUALITY.md operating point (VERDICT round-1 item 3): the
+    reference benchmark geometry (802x550, `fps_benchmark_demo.py:76-80`)
+    with the full 600k recipe scaled down — densification growing the
+    splat count toward the ~90k operating point, periodic opacity resets,
+    SH warm-up, and all five innovations. Only overrides knobs the user
+    left at their defaults."""
+    def default(name, value):
+        if getattr(a, name) == parser_defaults[name]:
+            setattr(a, name, value)
+
+    default("width", 802)
+    default("height", 550)
+    default("iterations", 24_000)
+    default("capacity", 131072)
+    default("timesteps", 12)
+    default("cameras", 8)
+    default("workdir", "/tmp/gsav_quality")
+    default("opacity_reset_interval", a.iterations // 10)
+    a.all_innovations = True
+
+
 def main(argv=None):
     a = parse_args(argv)
+    if a.quality:
+        apply_quality_profile(a, vars(parse_args([])))
     from gaussianavatars_tpu.config import (
         Config, ModelConfig, OptimizationConfig, PipelineConfig,
     )
@@ -158,6 +197,19 @@ def main(argv=None):
     else:
         print(f"reusing dataset at {a.workdir}")
 
+    innov = {}
+    if a.all_innovations:
+        # Milestones at 1/3 and 2/3 of the run (reference: 100k/300k of 600k,
+        # config defaults `arguments/__init__.py:76-144`).
+        innov = dict(
+            use_region_adaptive_loss=True,
+            use_smart_densification=True,
+            use_progressive_resolution=True,
+            resolution_schedule=(0.5, 0.75, 1.0),
+            resolution_milestones=(a.iterations // 3, 2 * a.iterations // 3),
+            use_color_calibration=True,
+            use_contrastive_reg=True,
+        )
     cfg = Config(
         model=ModelConfig(
             source_path=a.workdir, model_path=os.path.join(a.workdir, "model"),
@@ -172,8 +224,13 @@ def main(argv=None):
             iterations=a.iterations,
             position_lr_max_steps=a.iterations,
             densify_from_iter=500, densify_until_iter=a.iterations,
-            densification_interval=250, opacity_reset_interval=10 * a.iterations,
+            densification_interval=250,
+            opacity_reset_interval=(a.opacity_reset_interval or
+                                    10 * a.iterations),
+            densify_grad_threshold=a.densify_grad_threshold,
             lambda_scale=0.1,
+            use_amp=a.use_amp,
+            **innov,
         ),
     )
     # Train model uses the same topology (synthetic assets are deterministic).
@@ -191,6 +248,32 @@ def main(argv=None):
     print(f"first logged loss {logs[0]['loss']:.4f} → last {logs[-1]['loss']:.4f}; "
           f"train psnr {logs[-1]['psnr']:.2f} dB; "
           f"{logs[-1]['num_points']} Gaussians")
+
+    # Final full-split eval at full resolution (training_report analogue,
+    # reference train.py:313-394). Generous per-tile capacity: training may
+    # have grown the splat count well past what the training tcfg assumed.
+    import dataclasses as _dc
+    import json
+
+    from gaussianavatars_tpu.training.loop import (
+        active_sh_degree, evaluate_split, make_render_fn, tile_config,
+    )
+
+    eval_tcfg = _dc.replace(tile_config(cfg), capacity=1024)
+    render_fn = make_render_fn(model, cfg, eval_tcfg)
+    sh_deg = active_sh_degree(a.iterations, cfg.model.sh_degree)
+    result = {"args": {k: v for k, v in vars(a).items()}, "logs": logs}
+    for split in ("val", "test"):
+        m = evaluate_split(harness, split, render_fn, sh_deg)
+        if m:
+            extra = f" lpips={m['lpips']:.4f}" if "lpips" in m else ""
+            print(f"[final eval {split}] psnr={m['psnr']:.2f} "
+                  f"ssim={m['ssim']:.4f}{extra} over {m['n']} views")
+            result[f"eval_{split}"] = m
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {a.json_out}")
     return logs
 
 

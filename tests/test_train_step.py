@@ -143,3 +143,39 @@ def test_sh_warmup_schedule():
     assert active_sh_degree(1000) == 1
     assert active_sh_degree(3500) == 3
     assert active_sh_degree(99999) == 3
+
+
+def test_adaptive_pool_matches_torch():
+    """_downsample == F.adaptive_avg_pool2d (the reference pools renders to a
+    fixed 8x8 thumbnail, contrastive_regularization.py:18,26) — including
+    non-divisible sizes, so the cache survives progressive-resolution swaps."""
+    import torch
+    import torch.nn.functional as F
+
+    from gaussianavatars_tpu.training.innovations import _downsample
+
+    rng = np.random.RandomState(3)
+    for (h, w), out in [((64, 48), 8), ((55, 41), 8), ((23, 37), 5)]:
+        img = rng.rand(h, w, 3).astype(np.float32)
+        got = np.asarray(_downsample(jnp.asarray(img), out))
+        ref = (
+            F.adaptive_avg_pool2d(
+                torch.from_numpy(img).permute(2, 0, 1).unsqueeze(0), out
+            )[0].permute(1, 2, 0).numpy()
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_contrastive_cache_resolution_independent():
+    from gaussianavatars_tpu.training.innovations import (
+        contrastive_init, contrastive_loss, contrastive_update,
+    )
+
+    cache = contrastive_init(2, 96, 128, downsample=8)
+    big = jnp.ones((96, 128, 3)) * 0.5
+    small = jnp.ones((48, 64, 3)) * 0.5
+    cache = contrastive_update(cache, big, 8)
+    # A half-resolution render (progressive milestone) hits the same cache.
+    loss = contrastive_loss(cache, small, 8)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)  # same content
