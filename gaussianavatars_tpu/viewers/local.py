@@ -65,7 +65,37 @@ class AvatarViewerCore:
             use_pallas if use_pallas is not None else jax.default_backend() == "tpu"
         )
         self.overrides: Dict[str, np.ndarray] = {}  # live slider values
+        # Reference "enable control" semantics (`local_viewer.py:534-611`):
+        # when on, ALL driven params come from `control` (zeros + slider
+        # deltas) instead of the timestep table.
+        self.control_enabled = False
+        self.control: Dict[str, np.ndarray] = {}
+        self.reset_flame()
         self._jit_cache = {}
+
+    def reset_flame(self) -> None:
+        """`reset_flame_param` (`local_viewer.py:291-299`)."""
+        n_expr = self.model.cfg.n_expr if self.model is not None else 0
+        self.control = {
+            "expr": np.zeros(n_expr, np.float32),
+            "rotation": np.zeros(3, np.float32),
+            "neck": np.zeros(3, np.float32),
+            "jaw": np.zeros(3, np.float32),
+            "eyes": np.zeros(6, np.float32),
+            "translation": np.zeros(3, np.float32),
+        }
+
+    def set_pose(self, joint: str, axis: int, value: float) -> None:
+        """Joint slider (`callback_set_pose`, `local_viewer.py:536-547`);
+        the eyes slider drives both eyes' matching axis."""
+        self.control[joint][axis] = value
+        if joint == "eyes":
+            self.control[joint][3 + axis] = value
+        self.control_enabled = True
+
+    def set_expr(self, i: int, value: float) -> None:
+        self.control["expr"][i] = value
+        self.control_enabled = True
 
     def _bounds(self):
         if self.model is not None:
@@ -88,6 +118,8 @@ class AvatarViewerCore:
         tab = self.flame_table
 
         def get(name, wire):
+            if self.control_enabled:
+                return jnp.asarray(self.control[name])[None]
             if name in self.overrides:
                 return jnp.asarray(self.overrides[name])[None]
             return jnp.asarray(tab[wire][t])[None]

@@ -174,3 +174,189 @@ class KeyframeTimeline:
              "center": np.asarray(k["center"]), "radius": k["radius"]}
             for k in raw
         ]
+
+
+class KeyframeEditor:
+    """Interval-based keyframe editing + record timeline, reference-parity
+    (`local_viewer.py:122-288`): keyframes hold camera state + a per-key
+    frame `interval`; the record timeline componentwise-interpolates every
+    state channel (linear for ≤3 keys, cubic otherwise) and, when `cycles`
+    > 0, pads one cycle before/after so the loop closes smoothly."""
+
+    CHANNELS = ("rot", "look_at", "radius", "fovy")  # quat(4)/3/1/1
+
+    def __init__(self, fps: int = 25, keyframe_interval: float = 1.0):
+        self.keyframes: List[dict] = []
+        self.fps = fps
+        self.keyframe_interval = keyframe_interval
+        self.cycles = 0
+
+    # -- editing (reference callbacks add/delete/update, :446-485) ----------
+    def state_of(self, cam: OrbitCamera) -> dict:
+        from scipy.spatial.transform import Rotation
+
+        return {
+            "rot": Rotation.from_matrix(cam.rot).as_quat(),
+            "look_at": np.asarray(cam.center, np.float64).copy(),
+            "radius": np.array([cam.radius], np.float64),
+            "fovy": np.array([cam.fovy], np.float64),
+            "interval": int(round(self.fps * self.keyframe_interval)),
+        }
+
+    def apply_state(self, cam: OrbitCamera, state: dict) -> None:
+        from scipy.spatial.transform import Rotation
+
+        if "rot" in state:
+            cam.rot = Rotation.from_quat(np.asarray(state["rot"])).as_matrix()
+        if "look_at" in state:
+            cam.center = np.asarray(state["look_at"], np.float64).copy()
+        if "radius" in state:
+            cam.radius = float(np.asarray(state["radius"]).reshape(-1)[0])
+        if "fovy" in state:
+            cam.fovy = float(np.asarray(state["fovy"]).reshape(-1)[0])
+
+    def add(self, cam: OrbitCamera, after: Optional[int] = None) -> int:
+        idx = len(self.keyframes) if after is None else after + 1
+        self.keyframes.insert(idx, self.state_of(cam))
+        return idx
+
+    def delete(self, idx: int) -> None:
+        self.keyframes.pop(idx)
+
+    def update(self, idx: int, cam: OrbitCamera) -> None:
+        self.keyframes[idx] = self.state_of(cam)
+
+    def set_interval(self, keyframe_interval: float) -> None:
+        self.keyframe_interval = keyframe_interval
+        iv = int(round(self.fps * keyframe_interval))
+        for k in self.keyframes:
+            k["interval"] = iv
+
+    def start_frame_of(self, idx: int) -> int:
+        """Record-timestep where keyframe `idx` sits (listbox jump, :435-441)."""
+        return int(sum(k["interval"] for k in self.keyframes[:idx]))
+
+    # -- record timeline (`update_record_timeline`, :122-167) ---------------
+    def timeline_length(self) -> int:
+        if not self.keyframes:
+            return 0
+        if self.cycles == 0:
+            return int(sum(k["interval"] for k in self.keyframes[:-1]))
+        return int(sum(k["interval"] for k in self.keyframes)) * self.cycles
+
+    def frames(self) -> dict:
+        """Dict of channel → [T, D] interpolated arrays over the timeline."""
+        n = self.timeline_length()
+        if n <= 0 or not self.keyframes:
+            return {}
+        kfs = list(self.keyframes)
+        if self.cycles > 0:
+            kfs = self.keyframes * (self.cycles + 2)
+            t = -sum(k["interval"] for k in self.keyframes)
+        else:
+            t = 0
+        k_x = []
+        for k in kfs:
+            k_x.append(t)
+            t += k["interval"]
+        x = np.arange(n)
+        out = {}
+        if len(kfs) <= 1:
+            for ch in self.CHANNELS:
+                out[ch] = np.tile(np.asarray(kfs[0][ch])[None], (n, 1))
+            return out
+        from scipy.interpolate import interp1d
+
+        kind = "linear" if len(kfs) <= 3 else "cubic"
+        k_x = np.asarray(k_x, np.float64)
+        for ch in self.CHANNELS:
+            k_y = np.stack([np.asarray(k[ch], np.float64) for k in kfs])
+            f = interp1d(k_x, k_y, axis=0, kind=kind, fill_value="extrapolate")
+            out[ch] = f(x)
+        return out
+
+    def state_at(self, record_timestep: int) -> dict:
+        fr = self.frames()
+        return {ch: fr[ch][record_timestep] for ch in fr}
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({
+                "fps": self.fps, "keyframe_interval": self.keyframe_interval,
+                "cycles": self.cycles,
+                "keyframes": [
+                    {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                     for k, v in kf.items()}
+                    for kf in self.keyframes
+                ],
+            }, f, indent=2)
+
+    def load(self, path: str) -> None:
+        with open(path) as f:
+            d = json.load(f)
+        self.fps = int(d.get("fps", self.fps))
+        self.keyframe_interval = float(
+            d.get("keyframe_interval", self.keyframe_interval))
+        self.cycles = int(d.get("cycles", 0))
+        self.keyframes = [
+            {k: (np.asarray(v, np.float64) if isinstance(v, list) else v)
+             for k, v in kf.items()}
+            for kf in d["keyframes"]
+        ]
+
+
+def export_trajectory(
+    editor: KeyframeEditor,
+    core,
+    out_dir: str,
+    dynamic: bool = False,
+    start_timestep: int = 0,
+    show_mesh: bool = False,
+) -> dict:
+    """Render the record timeline and write `trajectory.json`
+    (`export_trajectory`, `local_viewer.py:208-288`): per-frame PNG +
+    intrinsics/extrinsics records in the DynamicNerf transforms layout, so
+    an exported trajectory can be re-rendered by `scripts/render.py
+    --target` like the reference's."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = editor.timeline_length()
+    frames_ch = editor.frames()
+    cam = core.cam
+    timestep = int(start_timestep)
+    traj = {"frames": [], "timestep_indices": [], "camera_indices": []}
+    tsteps, cidxs = set(), set()
+    for i in range(n):
+        editor.apply_state(cam, {ch: frames_ch[ch][i] for ch in frames_ch})
+        img = core.render(timestep=timestep, camera=cam.to_camera(),
+                          show_mesh=show_mesh)
+        path = os.path.join(out_dir, f"{i:05d}.png")
+        Image.fromarray(
+            (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+        h, w = cam.height, cam.width
+        fl_y = h / (2 * math.tan(cam.fovy / 2))
+        fl_x = fl_y
+        c2w = cam.pose.copy()
+        c2w[:, [1, 2]] *= -1  # opencv → opengl (reference :247-248)
+        traj["frames"].append({
+            "cx": w / 2, "cy": h / 2, "fl_x": fl_x, "fl_y": fl_y,
+            "h": h, "w": w,
+            "camera_angle_x": 2 * math.atan(w / (2 * fl_x)),
+            "camera_angle_y": 2 * math.atan(h / (2 * fl_y)),
+            "transform_matrix": c2w.tolist(),
+            "timestep_index": timestep, "camera_indx": i,
+            "file_path": f"{i:05d}.png",
+        })
+        tsteps.add(timestep)
+        cidxs.add(i)
+        if dynamic:
+            timestep = min(timestep + 1, core.num_timesteps - 1)
+    traj["timestep_indices"] = sorted(tsteps)
+    traj["camera_indices"] = sorted(cidxs)
+    with open(os.path.join(out_dir, "trajectory.json"), "w") as f:
+        json.dump(traj, f, indent=2)
+    return traj

@@ -163,3 +163,99 @@ def test_protocol_server_client(avatar_ply):
     client.close()
     th.join(timeout=10)
     assert not th.is_alive()
+
+
+def test_keyframe_editor_semantics(tmp_path):
+    """Interval-based editor parity (`local_viewer.py:122-167,432-520`):
+    insert-after, timeline length with/without cycles, interpolation hits
+    keyframes, save/load roundtrip."""
+    from gaussianavatars_tpu.viewers.orbit import KeyframeEditor
+
+    ed = KeyframeEditor(fps=10, keyframe_interval=1.0)
+    cams = []
+    for t in range(4):
+        c = OrbitCamera(radius=1.0 + t)
+        c.orbit(150 * t, 40 * t)
+        cams.append(c)
+        ed.add(c)
+    assert [k["interval"] for k in ed.keyframes] == [10, 10, 10, 10]
+    # cycles==0 → last keyframe's interval excluded (reference :124-126)
+    assert ed.timeline_length() == 30
+    ed.cycles = 2
+    assert ed.timeline_length() == 80
+    ed.cycles = 0
+    # Record frame 10 = exactly keyframe 1 (cubic interp passes through keys).
+    st = ed.state_at(ed.start_frame_of(1))
+    probe = OrbitCamera()
+    ed.apply_state(probe, st)
+    np.testing.assert_allclose(probe.radius, cams[1].radius, atol=1e-6)
+    np.testing.assert_allclose(probe.pose, cams[1].pose, atol=1e-6)
+    # insert-after + delete keep ordering
+    ed.add(cams[0], after=0)
+    assert len(ed.keyframes) == 5 and ed.start_frame_of(2) == 20
+    ed.delete(1)
+    assert ed.timeline_length() == 30
+    # interval edit rescales every key
+    ed.set_interval(0.5)
+    assert ed.timeline_length() == 15
+    p = str(tmp_path / "kf.json")
+    ed.save(p)
+    ed2 = KeyframeEditor()
+    ed2.load(p)
+    assert ed2.timeline_length() == 15
+    st2 = ed2.state_at(7)
+    for ch in ("rot", "look_at", "radius", "fovy"):
+        np.testing.assert_allclose(st2[ch], ed.state_at(7)[ch], atol=1e-12)
+
+
+def test_flame_control_panel_semantics(avatar_ply):
+    """enable-control switches ALL driven params to the control dict; eyes
+    slider mirrors both eyes; reset zeroes (`local_viewer.py:291-299,534-611`)."""
+    from gaussianavatars_tpu.viewers.local import AvatarViewerCore
+
+    core = AvatarViewerCore(
+        avatar_ply, width=64, height=48, use_pallas=False,
+        tile=dict(tile_h=8, tile_w=16, capacity=128, max_tiles_per_gaussian=16),
+    )
+    # Timestep 1's table has a nonzero jaw; enabling control zeroes it.
+    tab_img = core.render(timestep=1)
+    core.control_enabled = True
+    ctrl_img = core.render(timestep=1)
+    assert np.abs(ctrl_img - tab_img).mean() > 1e-5
+    core.set_pose("eyes", 1, 0.3)
+    np.testing.assert_allclose(core.control["eyes"], [0, 0.3, 0, 0, 0.3, 0])
+    core.set_pose("jaw", 0, 0.35)
+    jaw_img = core.render(timestep=1)
+    assert np.abs(jaw_img - ctrl_img).mean() > 1e-5
+    core.reset_flame()
+    np.testing.assert_allclose(core.render(timestep=1), ctrl_img, atol=1e-7)
+
+
+def test_export_trajectory(avatar_ply, tmp_path):
+    """Record-timeline export writes frames + a re-renderable trajectory.json
+    (`export_trajectory`, `local_viewer.py:208-288`)."""
+    from gaussianavatars_tpu.viewers.local import AvatarViewerCore
+    from gaussianavatars_tpu.viewers.orbit import KeyframeEditor, export_trajectory
+
+    core = AvatarViewerCore(
+        avatar_ply, width=64, height=48, use_pallas=False,
+        tile=dict(tile_h=8, tile_w=16, capacity=128, max_tiles_per_gaussian=16),
+    )
+    ed = KeyframeEditor(fps=2, keyframe_interval=1.0)
+    for ang in (0.0, 120.0, 240.0):
+        core.cam.orbit(ang, 0)
+        ed.add(core.cam)
+    out = str(tmp_path / "traj")
+    traj = export_trajectory(ed, core, out, dynamic=True)
+    n = ed.timeline_length()
+    assert len(traj["frames"]) == n == 4
+    assert len([f for f in os.listdir(out) if f.endswith(".png")]) == n
+    fr = traj["frames"][0]
+    for k in ("cx", "cy", "fl_x", "fl_y", "h", "w", "camera_angle_x",
+              "transform_matrix", "timestep_index", "file_path"):
+        assert k in fr, k
+    # dynamic=True advanced the timestep
+    assert traj["frames"][1]["timestep_index"] == 1
+    assert traj["timestep_indices"] == [0, 1]
+    with open(os.path.join(out, "trajectory.json")) as f:
+        assert json.load(f)["frames"][0]["h"] == 48
