@@ -115,13 +115,14 @@ def main():
         proj0, HEIGHT, WIDTH, TILE,
         opacity=jnp.where(proj0.mask, wg0.opacity, 0.0),
     )
-    overflow = int(binned0.overflow)
+    overflow = int(binned0.overflow) + int(binned0.budget_overflow)
     max_count = int(binned0.counts.max())
     print(f"tile budget: max_count={max_count}/{TILE.capacity}, "
-          f"overflow={overflow}", file=sys.stderr)
+          f"overflow={int(binned0.overflow)}, "
+          f"budget_overflow={int(binned0.budget_overflow)}", file=sys.stderr)
     assert overflow == 0, (
-        f"tile capacity overflow ({overflow} splats dropped) — bench numbers "
-        "would be measured on partially rendered frames"
+        f"tile capacity/budget overflow ({overflow} pairs dropped) — bench "
+        "numbers would be measured on partially rendered frames"
     )
 
     # Speed-of-light model at this scene's actual occupancy

@@ -59,6 +59,8 @@ class Binned(NamedTuple):
     tile_origin: jnp.ndarray  # [NT, 2] float32 (x0, y0) pixel origin per tile
     counts: jnp.ndarray    # [NT] int32 Gaussians binned per tile (pre-cap)
     overflow: jnp.ndarray  # [] int32 total Gaussians dropped by the capacity cap
+    budget_overflow: jnp.ndarray  # [] int32 (tile, Gaussian) pairs dropped by
+    #     the per-Gaussian `max_tiles_per_gaussian` budget (bbox truncation)
 
 
 def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
@@ -169,8 +171,16 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     tile_origin = jnp.stack(
         [tx.astype(jnp.float32) * cfg.tile_w, ty.astype(jnp.float32) * cfg.tile_h], -1
     )
+    # Two distinct loss modes, both observable: tiles past `capacity` slots
+    # (grow `capacity` to recover), and per-Gaussian bboxes past the
+    # `max_tiles_per_gaussian` budget — the trailing rows of the bbox are
+    # what the truncation drops (grow `max_tiles_per_gaussian` to recover).
     overflow = jnp.sum(jnp.maximum(counts - cfg.capacity, 0))
-    return Binned(idx=idx, tile_origin=tile_origin, counts=counts, overflow=overflow)
+    budget_overflow = jnp.sum(
+        jnp.where(proj.mask, jnp.maximum(ntiles_per_g - budget, 0), 0)
+    )
+    return Binned(idx=idx, tile_origin=tile_origin, counts=counts,
+                  overflow=overflow, budget_overflow=budget_overflow)
 
 
 # ---------------------------------------------------------------------------

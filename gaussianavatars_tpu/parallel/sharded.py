@@ -422,6 +422,7 @@ def make_sharded_train_step(
             "psnr": psnr(jax.lax.stop_gradient(img), gt_full),
             "num_visible": jnp.sum(vis).astype(jnp.float32),
             "overflow": binned.overflow.astype(jnp.float32),
+            "budget_overflow": binned.budget_overflow.astype(jnp.float32),
         }
         # Reduce every metric to a mesh-invariant scalar (pmean is exact for
         # the already-identical ones, an average for per-camera ones, and an

@@ -647,6 +647,7 @@ def train(
                     cams, ts, bg, sh_deg,
                 )
                 overflow_seen = int(jnp.max(m_all["overflow"]))
+                budget_overflow_seen = int(jnp.max(m_all["budget_overflow"]))
                 metrics = jax.tree_util.tree_map(lambda x: x[-1], m_all)
                 it = end
             else:
@@ -666,10 +667,11 @@ def train(
                 metrics = out.metrics
                 # Host sync only at the log cadence (a per-step scalar pull
                 # costs ~ms through a TPU tunnel).
-                overflow_seen = (
-                    int(metrics["overflow"])
-                    if (it % log_every == 0 or it == iterations) else 0
-                )
+                if it % log_every == 0 or it == iterations:
+                    overflow_seen = int(metrics["overflow"])
+                    budget_overflow_seen = int(metrics["budget_overflow"])
+                else:
+                    overflow_seen = budget_overflow_seen = 0
 
             if gui_service is not None:
                 gui_connected = bool(gui_service(it))
@@ -679,17 +681,29 @@ def train(
                 assert_finite(metrics, f"metrics@it{it}")
                 assert_finite(harness.state.params, f"params@it{it}")
 
-            if overflow_seen > 0:
-                # A tile exceeded TileConfig.capacity: its overflow splats were
-                # silently culled. Double the capacity and rebuild the compiled
-                # steps (the CUDA reference's per-tile lists are dynamic; our
-                # static budgets must grow to match its behavior).
-                tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
-                print(
-                    f"[warn] tile capacity overflow ({overflow_seen} splats "
-                    f"culled) — tile capacity doubled to {tcfg.capacity} "
-                    "(recompiling steps)"
-                )
+            if overflow_seen > 0 or budget_overflow_seen > 0:
+                # A static budget was exceeded and splats (or bbox tiles) were
+                # silently culled. Double the exceeded budget and rebuild the
+                # compiled steps (the CUDA reference's per-tile lists are
+                # dynamic; our static budgets must grow to match its behavior).
+                if overflow_seen > 0:
+                    tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
+                    print(
+                        f"[warn] tile capacity overflow ({overflow_seen} splats "
+                        f"culled) — tile capacity doubled to {tcfg.capacity} "
+                        "(recompiling steps)"
+                    )
+                if budget_overflow_seen > 0:
+                    tcfg = dataclasses.replace(
+                        tcfg,
+                        max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2,
+                    )
+                    print(
+                        f"[warn] tile-budget overflow ({budget_overflow_seen} "
+                        "bbox tiles truncated) — max_tiles_per_gaussian "
+                        f"doubled to {tcfg.max_tiles_per_gaussian} "
+                        "(recompiling steps)"
+                    )
                 steps.clear(); scans.clear()
                 render_fn = make_render_fn(model, cfg, tcfg)
 
@@ -882,15 +896,27 @@ def train_sharded(
                         writer.add_scalar(f"train/{k}", rec[k], it)
                 if on_step:
                     on_step(it, rec)
+                # overflow metrics are mesh-reduced (replicated), so every
+                # process takes these branches together and recompiles to
+                # the same budgets.
                 if float(metrics["overflow"]) > 0:
-                    # overflow is mesh-reduced (replicated metric), so every
-                    # process takes this branch together and recompiles to
-                    # the same capacity.
                     tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
                     if coord:
                         print(
                             f"[warn] tile capacity overflow — doubled to "
                             f"{tcfg.capacity} (recompiling sharded steps)"
+                        )
+                    step_cache.clear()
+                if float(metrics.get("budget_overflow", 0.0)) > 0:
+                    tcfg = dataclasses.replace(
+                        tcfg,
+                        max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2,
+                    )
+                    if coord:
+                        print(
+                            "[warn] tile-budget overflow — "
+                            "max_tiles_per_gaussian doubled to "
+                            f"{tcfg.max_tiles_per_gaussian} (recompiling)"
                         )
                     step_cache.clear()
 

@@ -390,6 +390,7 @@ def make_train_step(
             "psnr": psnr(jax.lax.stop_gradient(img), gt_image),
             "num_visible": jnp.sum(proj_sg.radius > 0),
             "overflow": binned.overflow,
+            "budget_overflow": binned.budget_overflow,
             **{k: v for k, v in {**loss_terms, **reg_terms}.items()},
         }
         new_state = TrainState(

@@ -30,6 +30,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--amp", action="store_true",
+                   help="measure the bf16 mixed-precision policy "
+                        "(OptimizationConfig.use_amp) in the full-step row")
     a = p.parse_args(argv)
 
     import jax
@@ -198,11 +201,14 @@ def main(argv=None):
     timed("render fwd+bwd (L1+SSIM)", fwd_bwd_l1ssim)
 
     # Full train step (donated state; carry the loss scalar as dependency).
+    from gaussianavatars_tpu.config import OptimizationConfig
+
     cfg = Config(
         model=ModelConfig(capacity=params.capacity, n_shape=100, n_expr=50),
         pipeline=PipelineConfig(
             tile_h=TILE.tile_h, tile_w=TILE.tile_w, use_pallas=use_pallas
         ),
+        opt=OptimizationConfig(use_amp=a.amp),
     )
     state = init_train_state(
         params, aux, cfg, num_timesteps=2, n_expr=50, n_shape=100,
@@ -227,7 +233,8 @@ def main(argv=None):
     st, m = scan_fn(state2, cache, views, cams, ts, bg, sh_degree=3)
     float(m["loss"][-1])
     dt = (time.perf_counter() - t0) / k
-    print(f"{'full train step (scan chunk)':34s} {dt * 1e3:8.3f} ms")
+    label = "full train step (scan chunk%s)" % (", amp" if a.amp else "")
+    print(f"{label:34s} {dt * 1e3:8.3f} ms")
 
 
 if __name__ == "__main__":

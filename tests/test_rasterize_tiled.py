@@ -162,6 +162,23 @@ def test_capacity_overflow_reported():
     proj = project_from_params(means, scales, quats, cam)
     binned = bin_gaussians(proj, cam.height, cam.width, small)
     assert int(binned.overflow) > 0
+    assert int(binned.budget_overflow) == 0  # budget 64 generous here
+
+
+def test_budget_overflow_reported():
+    """A bbox wider than max_tiles_per_gaussian is truncated — must be
+    counted (the capacity counter alone cannot see this loss mode)."""
+    cam = make_cam()
+    tiny_budget = TileConfig(tile_h=16, tile_w=16, capacity=64,
+                             max_tiles_per_gaussian=1)
+    means, scales, quats, opacity, colors = make_scene(50)
+    proj = project_from_params(means, scales, quats, cam)
+    binned = bin_gaussians(proj, cam.height, cam.width, tiny_budget)
+    assert int(binned.budget_overflow) > 0
+    # Generous budget on the same scene: zero.
+    big = TileConfig(tile_h=16, tile_w=16, capacity=64,
+                     max_tiles_per_gaussian=64)
+    assert int(bin_gaussians(proj, cam.height, cam.width, big).budget_overflow) == 0
 
 
 def test_odd_image_size_padding():
