@@ -56,7 +56,10 @@ def build_scene(per_face=9, seed=0):
     assets = synthetic_assets(n_shape=100, n_expr=50, seed=seed)
     model = FlameModel(assets, FlameConfig(n_shape=100, n_expr=50, add_teeth=True))
     n = model.num_faces * per_face
-    cap = 1 << (int(np.ceil(np.log2(n))))
+    # Pad to a 8192-multiple, not the next power of two: the padded capacity
+    # multiplies every per-Gaussian cost (projection, the [N×B] pair sort),
+    # and 131072 slots for 91k live splats would pay 43% sort padding.
+    cap = -(-n // 8192) * 8192
     params, aux = init_bound(model.num_faces, capacity=cap, key=key, per_face=per_face)
     k1, k2, k3 = jax.random.split(key, 3)
     params = dataclasses.replace(
