@@ -10,7 +10,10 @@ host-count-agnostic) sharded step in `parallel/sharded.py`:
   * `is_coordinator()` — process-0 guard for file writes (save /
     checkpoint / TensorBoard / stdout),
   * `local_data_rows(mesh)` — which 'data' batch rows this process owns,
-    so each host loads only its cameras' ground truth,
+    so each host fetches only its cameras' ground truth per step (the
+    resident device GT cache, when the dataset fits its budget, is still
+    uploaded in full on every process — any view can land on any row over
+    the epochs),
   * `make_global_batch(mesh, cams, gt)` — assemble per-process local
     camera/GT arrays into global `jax.Array`s matching the step's
     ('data', 'tile') shardings. Single-process: a passthrough.

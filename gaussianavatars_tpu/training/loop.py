@@ -116,6 +116,10 @@ class TrainerHarness:
     state: TrainState
     spatial_lr_scale: float
     start_iteration: int = 0
+    # The loop's CURRENT tile budgets (grows on overflow recovery). Render
+    # consumers outside the loop (the GUI server) re-read this so their
+    # cached render fns never keep an overflowing budget.
+    live_tile_config: Optional["TileConfig"] = None
 
 
 def build_harness(
@@ -522,6 +526,11 @@ def chunk_boundary(
     for s in list(save_iterations) + list(checkpoint_iterations):
         if s >= i:
             cands.append(s)
+    # The one-time white-background opacity reset fires at exactly
+    # densify_from_iter (train.py:272-273) — a post-step event that is not
+    # necessarily a multiple of any interval above.
+    if o.densify_from_iter >= i:
+        cands.append(o.densify_from_iter)
     # Pre-step config changes: end the chunk one iteration BEFORE.
     cands.append((i // 1000 + 1) * 1000 - 1)          # SH warm-up
     if o.use_progressive_resolution:
@@ -529,6 +538,35 @@ def chunk_boundary(
             if m - 1 >= i:
                 cands.append(m - 1)
     return max(min(c for c in cands if c >= i), i)
+
+
+def _grow_tile_budgets(
+    tcfg: TileConfig, overflow: int, budget_overflow: int, verbose: bool = True
+) -> Optional[TileConfig]:
+    """Double whichever static tile budget overflowed (the CUDA reference's
+    per-tile lists are dynamic; our static budgets must grow to match its
+    behavior). Returns the grown config, or None if nothing overflowed.
+    Shared by `train` and `train_sharded` so recovery cannot drift."""
+    if overflow <= 0 and budget_overflow <= 0:
+        return None
+    if overflow > 0:
+        tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
+        if verbose:
+            print(
+                f"[warn] tile capacity overflow ({overflow} splats culled) — "
+                f"tile capacity doubled to {tcfg.capacity} (recompiling steps)"
+            )
+    if budget_overflow > 0:
+        tcfg = dataclasses.replace(
+            tcfg, max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2
+        )
+        if verbose:
+            print(
+                f"[warn] tile-budget overflow ({budget_overflow} bbox tiles "
+                "truncated) — max_tiles_per_gaussian doubled to "
+                f"{tcfg.max_tiles_per_gaussian} (recompiling steps)"
+            )
+    return tcfg
 
 
 def train(
@@ -620,6 +658,8 @@ def train(
         )
 
     gui_connected = False
+    ovf_dev = bovf_dev = None
+    harness.live_tile_config = tcfg
     try:
         it = harness.start_iteration + 1
         while it <= iterations:
@@ -634,6 +674,10 @@ def train(
             sh_deg = active_sh_degree(it, cfg.model.sh_degree)
             debugging = 0 <= debug_from <= it
             end = it if (gui_connected or debugging) else next_boundary(it)
+            if not debugging and debug_from > it:
+                # Single-stepping (and finite asserts) must begin AT
+                # debug_from — end the chunk one iteration before it.
+                end = min(end, debug_from - 1)
             k = end - it + 1
             cams_all = scene.cameras("train", div)
             if k > 1 and scan_fn is not None and sampler is not None:
@@ -665,11 +709,19 @@ def train(
                 )
                 harness.state = out.state
                 metrics = out.metrics
-                # Host sync only at the log cadence (a per-step scalar pull
-                # costs ~ms through a TPU tunnel).
+                # Accumulate the overflow max ON DEVICE every step (lazy, no
+                # sync); host-pull only at the log cadence (a per-step scalar
+                # pull costs ~ms through a TPU tunnel). An overflow at any
+                # step of the window is therefore observed, as in the scan
+                # path's jnp.max over the chunk.
+                ovf_dev = (metrics["overflow"] if ovf_dev is None
+                           else jnp.maximum(ovf_dev, metrics["overflow"]))
+                bovf_dev = (metrics["budget_overflow"] if bovf_dev is None
+                            else jnp.maximum(bovf_dev, metrics["budget_overflow"]))
                 if it % log_every == 0 or it == iterations:
-                    overflow_seen = int(metrics["overflow"])
-                    budget_overflow_seen = int(metrics["budget_overflow"])
+                    overflow_seen = int(ovf_dev)
+                    budget_overflow_seen = int(bovf_dev)
+                    ovf_dev = bovf_dev = None
                 else:
                     overflow_seen = budget_overflow_seen = 0
 
@@ -681,29 +733,10 @@ def train(
                 assert_finite(metrics, f"metrics@it{it}")
                 assert_finite(harness.state.params, f"params@it{it}")
 
-            if overflow_seen > 0 or budget_overflow_seen > 0:
-                # A static budget was exceeded and splats (or bbox tiles) were
-                # silently culled. Double the exceeded budget and rebuild the
-                # compiled steps (the CUDA reference's per-tile lists are
-                # dynamic; our static budgets must grow to match its behavior).
-                if overflow_seen > 0:
-                    tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
-                    print(
-                        f"[warn] tile capacity overflow ({overflow_seen} splats "
-                        f"culled) — tile capacity doubled to {tcfg.capacity} "
-                        "(recompiling steps)"
-                    )
-                if budget_overflow_seen > 0:
-                    tcfg = dataclasses.replace(
-                        tcfg,
-                        max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2,
-                    )
-                    print(
-                        f"[warn] tile-budget overflow ({budget_overflow_seen} "
-                        "bbox tiles truncated) — max_tiles_per_gaussian "
-                        f"doubled to {tcfg.max_tiles_per_gaussian} "
-                        "(recompiling steps)"
-                    )
+            grown = _grow_tile_budgets(tcfg, overflow_seen, budget_overflow_seen)
+            if grown is not None:
+                tcfg = grown
+                harness.live_tile_config = tcfg
                 steps.clear(); scans.clear()
                 render_fn = make_render_fn(model, cfg, tcfg)
 
@@ -833,6 +866,8 @@ def train_sharded(
     multiproc = jax.process_count() > 1
     local_rows = local_data_rows(mesh) if multiproc else list(range(n_data))
     render_fn = make_render_fn(model, cfg, tcfg)
+    harness.live_tile_config = tcfg
+    ovf_dev = bovf_dev = None
     writer = _maybe_tensorboard(cfg.model.model_path) if coord else None
     logs: List[dict] = []
     ema = None
@@ -869,6 +904,15 @@ def train_sharded(
             harness.state, metrics = step(
                 harness.state, cams, gt, bg, sh_degree=sh_deg
             )
+            # Overflow max accumulates ON DEVICE every step (lazy, no host
+            # sync); pulled at the log cadence below. Metrics are
+            # mesh-reduced (replicated), so every process observes the same
+            # values and recompiles to the same budgets.
+            ovf_dev = (metrics["overflow"] if ovf_dev is None
+                       else jnp.maximum(ovf_dev, metrics["overflow"]))
+            _b = metrics.get("budget_overflow")
+            if _b is not None:
+                bovf_dev = _b if bovf_dev is None else jnp.maximum(bovf_dev, _b)
 
             if gui_service is not None:
                 gui_service(it)
@@ -896,29 +940,18 @@ def train_sharded(
                         writer.add_scalar(f"train/{k}", rec[k], it)
                 if on_step:
                     on_step(it, rec)
-                # overflow metrics are mesh-reduced (replicated), so every
-                # process takes these branches together and recompiles to
-                # the same budgets.
-                if float(metrics["overflow"]) > 0:
-                    tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
-                    if coord:
-                        print(
-                            f"[warn] tile capacity overflow — doubled to "
-                            f"{tcfg.capacity} (recompiling sharded steps)"
-                        )
+                grown = _grow_tile_budgets(
+                    tcfg,
+                    int(ovf_dev) if ovf_dev is not None else 0,
+                    int(bovf_dev) if bovf_dev is not None else 0,
+                    verbose=coord,
+                )
+                ovf_dev = bovf_dev = None
+                if grown is not None:
+                    tcfg = grown
+                    harness.live_tile_config = tcfg
                     step_cache.clear()
-                if float(metrics.get("budget_overflow", 0.0)) > 0:
-                    tcfg = dataclasses.replace(
-                        tcfg,
-                        max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2,
-                    )
-                    if coord:
-                        print(
-                            "[warn] tile-budget overflow — "
-                            "max_tiles_per_gaussian doubled to "
-                            f"{tcfg.max_tiles_per_gaussian} (recompiling)"
-                        )
-                    step_cache.clear()
+                    render_fn = make_render_fn(model, cfg, tcfg)
 
             _post_step_events(
                 harness, it, sh_deg,

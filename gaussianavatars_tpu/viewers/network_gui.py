@@ -14,6 +14,7 @@ then transposes into this framework's column-vector `Camera`.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import socket
@@ -128,6 +129,7 @@ class TrainingGuiServer(GuiServer):
         Returns True while a client is connected, so the training loop can
         drop to single-step dispatch for responsive frames (the reference
         services its socket every iteration, train.py:143-172)."""
+        import jax
         import jax.numpy as jnp
 
         from ..training.loop import make_render_fn, tile_config
@@ -135,8 +137,21 @@ class TrainingGuiServer(GuiServer):
         if not self.try_connect():
             return False
         cfg = harness.cfg
-        if not hasattr(self, "_render_fn"):
-            self._render_fn = make_render_fn(harness.model, cfg, tile_config(cfg))
+        # Re-read the loop's LIVE tile budgets: overflow recovery grows them
+        # mid-run, and a render fn cached with the old capacity would keep
+        # silently culling splats from viewer frames.
+        tcfg = harness.live_tile_config or tile_config(cfg)
+        if getattr(self, "_render_tcfg", None) != tcfg:
+            self._render_fn = make_render_fn(harness.model, cfg, tcfg)
+            self._render_tcfg = tcfg
+        if jax.process_count() > 1:
+            # This server runs on the coordinator only; a jit over the
+            # multi-process global state would be a collective the other
+            # processes never join (deadlock). Render a process-local copy.
+            local_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x)), harness.state
+            )
+            harness = dataclasses.replace(harness, state=local_state)
         while self.conn is not None:
             try:
                 cam, msg = self.receive()

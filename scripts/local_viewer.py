@@ -181,9 +181,11 @@ def run_gui(a):
                                if editor.keyframes else None)))
                 dpg.add_button(label="delete", callback=lambda: (
                     editor.delete(selected_idx()),
-                    refresh_listbox(selected_idx() - 1)))
+                    refresh_listbox(selected_idx() - 1),
+                ) if editor.keyframes else None)
                 dpg.add_button(label="update", callback=lambda: (
-                    editor.update(selected_idx(), core.cam)))
+                    editor.update(selected_idx(), core.cam)
+                ) if editor.keyframes else None)
         with dpg.group(horizontal=True):
             def set_cycles(s, v):
                 editor.cycles = int(v)
