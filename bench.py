@@ -167,39 +167,46 @@ def main():
     fps = float(np.mean(fps_rounds))
 
     # --- fwd+bwd training-style throughput ----------------------------------
-    def fwd_bwd(carry, _i):
-        s, = carry
-        jaw = jnp.zeros((1, 3)) + s * 1e-9
-
-        def loss_fn(p):
-            verts = model.forward(fl._replace(jaw=jaw))
-            frames = face_frames(verts[0], model.faces)
-            wg = world_gaussians(p, aux, frames)
-            out = render_tiled(
-                wg.means, wg.scales, wg.quats, wg.opacity, cam, jnp.zeros(3),
-                sh=wg.sh, sh_degree=3, alive=wg.alive, cfg=TILE,
-                use_pallas=use_pallas,
-            )
-            return jnp.mean((out.color - target) ** 2)
-
-        loss, g = jax.value_and_grad(loss_fn)(params)
-        return (s + loss * 0 + g.means[0, 0] * 0,)
-
     n_bwd = 100
-    @jax.jit
-    def run_bwd(carry):
-        return jax.lax.fori_loop(0, n_bwd, lambda i, c: fwd_bwd(c, i), carry)
 
-    r = run_bwd((jnp.zeros(()),))
-    float(r[0])
-    t0 = time.perf_counter()
-    r = run_bwd((jnp.zeros(()),))
-    float(r[0])
-    dt = time.perf_counter() - t0
-    iters_per_s = n_bwd / dt
+    def measure_fwd_bwd(amp: bool) -> float:
+        def fwd_bwd(carry, _i):
+            s, = carry
+            jaw = jnp.zeros((1, 3)) + s * 1e-9
+
+            def loss_fn(p):
+                verts = model.forward(fl._replace(jaw=jaw))
+                frames = face_frames(verts[0], model.faces)
+                wg = world_gaussians(p, aux, frames)
+                out = render_tiled(
+                    wg.means, wg.scales, wg.quats, wg.opacity, cam, jnp.zeros(3),
+                    sh=wg.sh, sh_degree=3, alive=wg.alive, cfg=TILE,
+                    use_pallas=use_pallas, amp=amp,
+                )
+                return jnp.mean((out.color - target) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            return (s + loss * 0 + g.means[0, 0] * 0,)
+
+        @jax.jit
+        def run_bwd(carry):
+            return jax.lax.fori_loop(0, n_bwd, lambda i, c: fwd_bwd(c, i), carry)
+
+        r = run_bwd((jnp.zeros(()),))
+        float(r[0])
+        t0 = time.perf_counter()
+        r = run_bwd((jnp.zeros(()),))
+        float(r[0])
+        return n_bwd / (time.perf_counter() - t0)
+
+    iters_per_s = measure_fwd_bwd(amp=False)
     mpix = iters_per_s * WIDTH * HEIGHT / 1e6
     print(f"fwd+bwd: {iters_per_s:.2f} iters/s, {mpix:.1f} Mpix/s "
           f"({WIDTH}x{HEIGHT})", file=sys.stderr)
+    # The use_amp policy (bf16 MXU-contraction inputs in the backward).
+    iters_amp = measure_fwd_bwd(amp=True)
+    print(f"fwd+bwd (use_amp): {iters_amp:.2f} iters/s "
+          f"({100 * (iters_amp / iters_per_s - 1):+.1f}%)", file=sys.stderr)
     print(
         f"pct of SoL: render {100 * fps / sol['sol_render_fps']:.0f}%, "
         f"fwd+bwd {100 * iters_per_s / sol['sol_train_iters_s']:.0f}%",
@@ -213,6 +220,8 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "pct_sol_render": round(100 * fps / sol["sol_render_fps"], 1),
         "pct_sol_fwd_bwd": round(100 * iters_per_s / sol["sol_train_iters_s"], 1),
+        "fwd_bwd_iters_s": round(iters_per_s, 2),
+        "fwd_bwd_amp_iters_s": round(iters_amp, 2),
     }))
 
 

@@ -418,12 +418,15 @@ def render_tiled(
     cfg: TileConfig = TileConfig(),
     compositor=None,
     use_pallas: bool = True,
+    amp: bool = False,
 ) -> RenderOutput:
     """Drop-in tiled equivalent of `render_dense` (same semantics).
 
     By default the per-tile compositing runs as the Pallas TPU kernel
     (`ops/pallas/composite.py`, interpreted off-TPU); pass
     `use_pallas=False` (or an explicit `compositor`) for the lax.scan path.
+    `amp` selects bf16 inputs for the backward's MXU contractions (the
+    `use_amp` policy, config.py).
     """
     proj = project_from_params(means3d, scales, quats, camera, scale_modifier, alive=alive)
     if colors is None:
@@ -444,7 +447,9 @@ def render_tiled(
             from .pallas.composite import make_pallas_compositor
 
             _nty, ntx = cfg.grid(camera.height, camera.width)
-            compositor = make_pallas_compositor(binned.counts, cfg.tile_h, cfg.tile_w, ntx)
+            compositor = make_pallas_compositor(
+                binned.counts, cfg.tile_h, cfg.tile_w, ntx, amp=amp
+            )
         else:
             compositor = composite_tiles
     img, alpha = rasterize_binned(
