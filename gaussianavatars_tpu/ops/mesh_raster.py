@@ -6,15 +6,24 @@ FLAME mesh previews in the viewers and `render.py --render_mesh` overlays
 goal is a correct z-buffered face-ID/barycentric rasterization, not a
 speed-of-light kernel.
 
-Algorithm (XLA-friendly, no atomics): tiles of pixels × chunks of triangles;
-for each (pixel, triangle) pair in a chunk compute barycentrics + depth, keep
-the per-pixel argmin-depth via a running `min`-reduce carried through a
-`lax.scan` over chunks. Backface culling matches nvdiffrast's convention
+Algorithm (XLA-friendly, no atomics): chunks of triangles against all
+pixels; for each (pixel, triangle) pair in a chunk compute the interpolated
+depth, keep the per-pixel min-depth + face id via a running reduce carried
+through a `lax.scan` over chunks, then recompute the winning triangle's
+barycentrics once per pixel after the scan. The chunk size is capped so the
+[chunk, pixels] intermediates stay within a fixed memory budget at any
+resolution. Backface culling matches nvdiffrast's convention
 (counter-clockwise front faces in clip space; disabled by default like
 `dr.rasterize`).
 
-Outputs mirror `dr.rasterize`: per-pixel (u, v, z/w, face_id+1) with 0 for
-misses (`mesh_renderer/__init__.py:225-232`).
+Outputs carry what `dr.rasterize`'s (u, v, z/w, face_id+1) carries
+(`mesh_renderer/__init__.py:225-232`) in a different convention: `face_id`
+here is 0-based with **-1** for misses (plus a bool `mask`), and the
+(u, v) barycentrics are **screen-space** weights of vertices 1 and 2 — not
+nvdiffrast's perspective-correct ones. Depth is unaffected (z_ndc is affine
+in screen space); interpolating general vertex attributes with these
+weights is perspective-distorted at grazing angles — fine for the
+flat-shaded previews this module serves.
 """
 from __future__ import annotations
 
@@ -24,6 +33,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .transforms import _safe_normalize, compute_face_normals
 
 
 class RastOut(NamedTuple):
@@ -39,8 +50,15 @@ def rasterize_mesh(
     height: int,
     width: int,
     chunk: int = 2048,
+    pair_budget: int = 48 << 20,
 ) -> RastOut:
-    """Z-buffer rasterization of a triangle mesh."""
+    """Z-buffer rasterization of a triangle mesh.
+
+    `pair_budget` caps chunk×pixels so the per-chunk [C, P] intermediates
+    stay ≤ ~4·budget bytes regardless of resolution (an 802×550 preview at
+    2× supersampling has P ≈ 1.76M pixels; an uncapped chunk of 2048 would
+    materialize multi-GB buffers).
+    """
     v = verts_clip
     w = v[:, 3:4]
     w_safe = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
@@ -56,6 +74,8 @@ def rasterize_mesh(
     tri_behind = jnp.any(behind[faces], axis=1)       # [F]
 
     f = faces.shape[0]
+    n_pix = height * width
+    chunk = max(8, min(chunk, pair_budget // max(n_pix, 1)))
     n_chunks = -(-f // chunk)
     pad = n_chunks * chunk - f
     tri_xy = jnp.pad(tri_xy, ((0, pad), (0, 0), (0, 0)))
@@ -69,55 +89,61 @@ def rasterize_mesh(
     )
     pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1)  # [P, 2]
 
-    def chunk_step(carry, tri):
-        best_z, best_id, best_uv = carry
-        xy, z, dead, fid = tri          # [C,3,2], [C,3], [C], [C]
-        a, b, c = xy[:, 0], xy[:, 1], xy[:, 2]
-        # Edge functions (doubled signed areas) for each pixel vs each tri.
+    def bary_weights(xy, qx, qy):
+        """Screen-space barycentrics of pixels (qx, qy) in triangles `xy`.
+
+        xy: [..., 3, 2]; qx/qy broadcast against the leading dims. Returns
+        (l1, l2, valid) — the weights of vertices 1 and 2, and the
+        inside-with-nondegenerate-area mask.
+        """
+        a, b, c = xy[..., 0, :], xy[..., 1, :], xy[..., 2, :]
+
         def edge(p0, p1):
-            # [C, P]: cross(p1-p0, pix-p0)
             d = p1 - p0
-            return (
-                d[:, None, 0] * (pix[None, :, 1] - p0[:, None, 1])
-                - d[:, None, 1] * (pix[None, :, 0] - p0[:, None, 0])
-            )
+            return (d[..., 0:1] * (qy - p0[..., 1:2])
+                    - d[..., 1:2] * (qx - p0[..., 0:1]))
 
         w0 = edge(b, c)   # opposite a
         w1 = edge(c, a)   # opposite b
         w2 = edge(a, b)   # opposite c
         area = (
-            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
-            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
-        )[:, None]
+            (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1])
+            - (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0])
+        )[..., None]
         area_safe = jnp.where(jnp.abs(area) < 1e-12, 1.0, area)
         inside = (
-            ((w0 >= 0) & (w1 >= 0) & (w2 >= 0) | (w0 <= 0) & (w1 <= 0) & (w2 <= 0))
-            & (jnp.abs(area) > 1e-12)
-            & ~dead[:, None]
-        )
-        l0 = w0 / area_safe
-        l1 = w1 / area_safe
-        l2 = 1.0 - l0 - l1
+            ((w0 >= 0) & (w1 >= 0) & (w2 >= 0))
+            | ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        ) & (jnp.abs(area) > 1e-12)
+        return w1 / area_safe, w2 / area_safe, inside
+
+    def chunk_step(carry, tri):
+        # Only (depth, face id) ride the scan: the winner's barycentrics are
+        # recomputed once per pixel after the scan, so the body is a pure
+        # producer chain into two reductions — nothing [C, P]-sized needs to
+        # survive the chunk, and there are no [C, P] gathers.
+        best_z, best_id = carry
+        xy, z, dead, fid = tri          # [C,3,2], [C,3], [C], [C]
+        l1, l2, inside = bary_weights(
+            xy, pix[None, :, 0], pix[None, :, 1]
+        )                               # [C, P]
+        inside = inside & ~dead[:, None]
+        l0 = 1.0 - l1 - l2
         zpix = l0 * z[:, 0:1] + l1 * z[:, 1:2] + l2 * z[:, 2:3]  # [C, P]
         zpix = jnp.where(inside & (zpix > -1.0), zpix, jnp.inf)
-        # Winner within the chunk, then against the carry.
+        # Winner within the chunk (min + argmin fuse over the producer),
+        # then against the carry.
+        pz_best = jnp.min(zpix, axis=0)                     # [P]
         ci = jnp.argmin(zpix, axis=0)                       # [P]
-        pz_best = jnp.take_along_axis(zpix, ci[None], 0)[0]
         sel = pz_best < best_z
-        pidx = jnp.arange(pix.shape[0])
-        uv = jnp.stack(
-            [l1[ci, pidx], l2[ci, pidx]], -1  # (u, v) = weights of verts 1, 2
-        )
-        best_uv = jnp.where(sel[:, None], uv, best_uv)
         best_id = jnp.where(sel, fid[ci], best_id)
         best_z = jnp.where(sel, pz_best, best_z)
-        return (best_z, best_id, best_uv), None
+        return (best_z, best_id), None
 
     p = pix.shape[0]
     init = (
         jnp.full((p,), jnp.inf),
         jnp.full((p,), -1, jnp.int32),
-        jnp.zeros((p, 2)),
     )
     fids = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(n_chunks, chunk)
     tris = (
@@ -126,7 +152,12 @@ def rasterize_mesh(
         tri_dead.reshape(n_chunks, chunk),
         fids,
     )
-    (best_z, best_id, best_uv), _ = jax.lax.scan(chunk_step, init, tris)
+    (best_z, best_id), _ = jax.lax.scan(chunk_step, init, tris)
+    # Barycentrics of the winning triangle, one triangle per pixel.
+    win_xy = tri_xy[jnp.maximum(best_id, 0)]                 # [P, 3, 2]
+    u, v_, _ = bary_weights(win_xy, pix[:, 0:1], pix[:, 1:2])
+    hit = (best_id >= 0)[:, None]
+    best_uv = jnp.where(hit, jnp.concatenate([u, v_], -1), 0.0)
     return RastOut(
         bary=best_uv.reshape(height, width, 2),
         depth=best_z.reshape(height, width),
@@ -137,11 +168,7 @@ def rasterize_mesh(
 
 def face_normals(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
     """Per-face unit normals (flat shading, `mesh_renderer/__init__.py:141-181`)."""
-    a = verts[faces[:, 0]]
-    b = verts[faces[:, 1]]
-    c = verts[faces[:, 2]]
-    n = jnp.cross(b - a, c - a)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+    return _safe_normalize(compute_face_normals(verts, faces))
 
 
 def render_mesh_preview(

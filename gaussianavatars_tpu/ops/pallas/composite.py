@@ -37,9 +37,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ALPHA_CUTOFF = 1.0 / 255.0
-ALPHA_MAX = 0.99
-T_EPS = 1e-4
+# Single source of truth for the compositing thresholds: the dense
+# ground-truth compositor. Duplicating the literals here would let a tune
+# there silently desynchronize the Pallas kernels from the compositors
+# they are tested for exact parity against.
+from ..rasterize_dense import ALPHA_CUTOFF, ALPHA_MAX, T_EPS
 
 _CHUNK = 64  # slots per chunk; must divide the tile capacity.
 # 64 beats 32 by ~2% on both render and fwd+bwd at 802x550/92k (v5e):
@@ -288,7 +290,11 @@ def _bwd_kernel_moments(
             s2 = r2 - w * c2[j]
             gs = gt_tf + g0 * s0 + g1 * s1 + g2 * s2
             d_alpha = t * gc[j] - inv_one[j] * gs
-            d_p_list.append(d_alpha * ua_eff[j])
+            # where-gate rather than multiply-by-zero: a non-finite alpha
+            # (degenerate conic on a dead slot) makes contrib False but
+            # d_alpha NaN, and NaN*0 = NaN would poison the whole chunk's
+            # moment contraction (the sibling kernels gate the same way).
+            d_p_list.append(jnp.where(contrib[j], d_alpha * ua_eff[j], 0.0))
             w_list.append(w)
             r0, r1, r2 = s0, s1, s2
             t = t * om_eff[j]

@@ -295,8 +295,12 @@ def _composite_vjp_bwd(cfg, res, cotangents):
         t_i = jnp.where(contrib, t_after / one_minus, t_after)
 
         w = jnp.where(contrib, alpha * t_i, 0.0)  # [NT, P]
-        # dL/dcolor — reduce over pixels.
-        d_color = jnp.einsum("np,npc->nc", w, g_acc)
+        # dL/dcolor — reduce over pixels. Pin full precision: the default
+        # TPU matmul precision is bf16 multiplies, and this compositor is
+        # the production path under shard_map (use_amp gates bf16
+        # explicitly; without it gradients must match the f32 Pallas step).
+        d_color = jnp.einsum("np,npc->nc", w, g_acc,
+                             precision=jax.lax.Precision.HIGHEST)
         # dL/dalpha from acc and from t_final.
         d_alpha = jnp.sum(
             g_acc * (color[:, None, :] * t_i[..., None] - suffix / one_minus[..., None]),

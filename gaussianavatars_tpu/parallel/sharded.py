@@ -431,11 +431,16 @@ def make_sharded_train_step(
             k: jax.lax.pmean(jax.lax.pmean(v, "data"), "tile")
             for k, v in metrics.items()
         }
+        # Advance the PRNG key exactly like the single-chip step (replicated
+        # state, deterministic split → identical on every device); without
+        # this the two drivers' states diverge in the key field and any
+        # future in-step randomness would silently freeze on this path.
+        _, key_next = jax.random.split(state.key)
         new_state = dataclasses.replace(
             state, params=new_params, aux=aux_new, adam=new_adam,
             flame=new_flame, flame_adam=new_flame_adam,
             color_net=new_color, color_adam=new_color_adam,
-            contrastive=new_contrastive,
+            contrastive=new_contrastive, key=key_next,
         )
         return new_state, metrics
 
