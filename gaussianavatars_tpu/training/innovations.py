@@ -74,8 +74,11 @@ def flame_region_weight_map(
     hom = verts @ full[:3, :3].T + full[:3, 3]
     w = verts @ full[3, :3] + full[3, 3]
     ndc = hom[:, :2] / (w[:, None] + 1e-7)
+    # Same NDC→pixel orientation as the rasterizer (ops/projection.py
+    # ndc_to_pixel — y DOWN with +ndc_y at the bottom, no flip): the weight
+    # boxes must land on the same pixels the regions render to.
     px = jnp.clip((ndc[:, 0] * 0.5 + 0.5) * (width - 1), 0, width - 1).astype(jnp.int32)
-    py = jnp.clip((-ndc[:, 1] * 0.5 + 0.5) * (height - 1), 0, height - 1).astype(jnp.int32)
+    py = jnp.clip((ndc[:, 1] * 0.5 + 0.5) * (height - 1), 0, height - 1).astype(jnp.int32)
 
     radius = max(height, width) // 60
     wmap = jnp.ones((height, width), jnp.float32)

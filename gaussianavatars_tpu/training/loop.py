@@ -201,8 +201,6 @@ def make_render_fn(model: Optional[FlameModel], cfg: Config, tcfg: TileConfig):
     use_flame = model is not None
 
     def render(state: TrainState, camera: Camera, timestep, bg, sh_degree: int):
-        from ..models.gaussians import world_gaussians
-
         if use_flame:
             fp = FlameParams(
                 shape=state.flame_static.shape,
@@ -218,9 +216,9 @@ def make_render_fn(model: Optional[FlameModel], cfg: Config, tcfg: TileConfig):
             frames = face_frames(verts[0], model.faces)
         else:
             frames = None
-        from ..models.gaussians import world_gaussians as wg_fn
+        from ..models.gaussians import world_gaussians
 
-        wg = wg_fn(state.params, state.aux, frames)
+        wg = world_gaussians(state.params, state.aux, frames)
         out = render_tiled(
             wg.means, wg.scales, wg.quats, wg.opacity, camera, bg,
             sh=wg.sh, sh_degree=sh_degree, alive=wg.alive, cfg=tcfg,
@@ -258,7 +256,7 @@ def evaluate_split(
     cams = scene.cameras(split)
     recs = scene.records(split)
     if not cams:
-        return {}
+        return ({}, None) if return_images else {}
     if bg is None:
         bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
     n = len(cams) if max_views is None else min(max_views, len(cams))
@@ -411,7 +409,10 @@ def _post_step_events(
     `coordinator` (process 0)."""
     cfg, scene, model = harness.cfg, harness.scene, harness.model
     o = cfg.opt
-    if (o.densify_from_iter <= it < o.densify_until_iter
+    # Strictly after densify_from_iter (reference train.py:268 uses `>`;
+    # at exactly densify_from_iter only the white-background opacity reset
+    # below may fire).
+    if (o.densify_from_iter < it < o.densify_until_iter
             and it % o.densification_interval == 0):
         report = densify_event(harness, it)
         if writer:
@@ -608,6 +609,18 @@ def train(
     tcfg = tile_config(cfg)
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
 
+    if steps_per_call > 1 and len(
+        {(c.fovx, c.fovy) for c in scene.cameras("train", 1.0)}
+    ) > 1:
+        # fov is static camera metadata; a stacked scan trace can only
+        # carry one rig intrinsic. The sharded driver traces per-view fovs
+        # (parallel/sharded.py CameraBatch); here we stay correct by
+        # single-stepping.
+        print("[warn] per-camera intrinsics detected — disabling scan "
+              "chunking (single-step dispatch; train_sharded supports "
+              "mixed intrinsics at full speed)")
+        steps_per_call = 1
+
     steps: Dict[float, Callable] = {}
     scans: Dict[float, Callable] = {}
     sources: Dict[float, object] = {}
@@ -631,8 +644,6 @@ def train(
                 sources[scale] = DeviceGtCache(
                     recs, cams, max_bytes=device_cache_bytes
                 )
-                from ..data.pipeline import EpochSampler
-
                 samplers[scale] = iter(EpochSampler(len(recs), seed))
             except MemoryError:
                 sources[scale] = Prefetcher(
@@ -668,6 +679,19 @@ def train(
                     it, o.resolution_schedule, o.resolution_milestones
                 )
                 div = 1.0 / img_scale
+                # Evict bundles for scales that can no longer recur — each
+                # holds a full-dataset device GT cache, and keeping every
+                # past scale alive wastes HBM exactly when the full-res
+                # cache + grown Gaussian capacity need it.
+                seg = sum(1 for m in o.resolution_milestones if it >= m)
+                future = {1.0 / s for s in o.resolution_schedule[seg:]}
+                for d in [k for k in sources if k not in future]:
+                    src = sources.pop(d)
+                    if isinstance(src, Prefetcher):
+                        src.close()
+                    samplers.pop(d, None)
+                    steps.pop(d, None)
+                    scans.pop(d, None)
             else:
                 div = 1.0
             step, scan_fn, source, sampler = step_for(div)
@@ -692,6 +716,14 @@ def train(
                 )
                 overflow_seen = int(jnp.max(m_all["overflow"]))
                 budget_overflow_seen = int(jnp.max(m_all["budget_overflow"]))
+                # Drain any single-step accumulators (GUI-connected steps at
+                # non-log iterations) so their overflow is acted on here and
+                # never re-read after a budget growth.
+                if ovf_dev is not None:
+                    overflow_seen = max(overflow_seen, int(ovf_dev))
+                if bovf_dev is not None:
+                    budget_overflow_seen = max(budget_overflow_seen, int(bovf_dev))
+                ovf_dev = bovf_dev = None
                 metrics = jax.tree_util.tree_map(lambda x: x[-1], m_all)
                 it = end
             else:
@@ -882,6 +914,12 @@ def train_sharded(
                 div = 1.0 / innovations.resolution_scale_at(
                     it, o.resolution_schedule, o.resolution_milestones
                 )
+                # Evict unreachable scales (each holds a full GT cache).
+                seg = sum(1 for m in o.resolution_milestones if it >= m)
+                future = {1.0 / s for s in o.resolution_schedule[seg:]}
+                for d in [k for k in data_cache if k not in future]:
+                    data_cache.pop(d)
+                    step_cache.pop(d, None)
             else:
                 div = 1.0
             step, fetch, cams_all, hp, sampler = bundle_for(div)

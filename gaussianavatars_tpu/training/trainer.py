@@ -206,9 +206,13 @@ def make_train_step(
     o = cfg.opt
     use_flame = model is not None
     faces = model.faces if use_flame else None
+    # vid_by_region clips region tables (FLAME-5023 topology data) to the
+    # model's vertex count — raw vertex_masks ids on a smaller synthetic
+    # topology would clamp-gather to an arbitrary vertex under jit.
     region_vids = (
-        {k: v for k, v in model.assets.vertex_masks.items()
-         if k in ("eyes_left", "eyes_right", "mouth", "nose")}
+        {k: model.vid_by_region([k])
+         for k in ("eyes_left", "eyes_right", "mouth", "nose")
+         if k in model.assets.vertex_masks}
         if use_flame else {}
     )
 
@@ -409,11 +413,20 @@ def make_train_step(
 
 
 def stack_cameras(cams):
-    """Stack same-resolution Camera pytrees along a new leading axis (static
-    fields must match; they are taken from the first camera)."""
+    """Stack same-intrinsics Camera pytrees along a new leading axis (static
+    fields must match; they are taken from the first camera).
+
+    fov is static pytree aux-data, so rigs with per-camera intrinsics
+    cannot be stacked — `train()` detects that case and falls back to
+    single-step dispatch (the sharded driver traces per-view fovs instead,
+    parallel/sharded.py `CameraBatch`)."""
     c0 = cams[0]
     for c in cams:
         assert (c.width, c.height) == (c0.width, c0.height), "mixed resolutions"
+        assert (c.fovx, c.fovy) == (c0.fovx, c0.fovy), (
+            "mixed per-camera intrinsics cannot ride one scan trace "
+            "(fov is static metadata)"
+        )
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
 
 

@@ -179,3 +179,31 @@ def test_contrastive_cache_resolution_independent():
     loss = contrastive_loss(cache, small, 8)
     assert np.isfinite(float(loss))
     np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)  # same content
+
+
+def test_region_weight_map_matches_rasterizer_convention():
+    """The weight boxes must land on the pixels the region renders to: same
+    NDC→pixel orientation as ops/projection.ndc_to_pixel (no y flip).
+    Regression test for a vertical mirror that sent eye weights to the
+    bottom of the image."""
+    from gaussianavatars_tpu.ops.projection import ndc_to_pixel
+    from gaussianavatars_tpu.training.innovations import flame_region_weight_map
+
+    h, w = 96, 64
+    cam = look_at_camera(eye=(0, 0, -2.5), fovy=0.8, width=w, height=h)
+    # One vertex clearly off-centre vertically.
+    vert = jnp.array([[0.15, 0.4, 0.0]], jnp.float32)
+    wmap = flame_region_weight_map(
+        vert, {"mouth": np.array([0], np.int32)}, cam, h, w
+    )
+    # Project the same vertex with the rasterizer's convention.
+    full = cam.full_proj
+    hom = jnp.concatenate([vert[0], jnp.ones(1)]) @ full.T
+    ndc = hom[:2] / hom[3]
+    px = int(ndc_to_pixel(ndc[0], w))
+    py = int(ndc_to_pixel(ndc[1], h))
+    assert 0 <= px < w and 0 <= py < h
+    assert float(wmap[py, px]) > 1.0, "weight box missing at the rendered pixel"
+    mirrored = h - 1 - py
+    if abs(mirrored - py) > 2 * (max(h, w) // 60) + 2:
+        assert float(wmap[mirrored, px]) == 1.0, "weight box vertically mirrored"
