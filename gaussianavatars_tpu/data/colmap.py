@@ -147,7 +147,14 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     images = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+        # Keep blank lines: the format is strictly two lines per image and
+        # an image with zero observations has an EMPTY second line —
+        # dropping it would shift every following (header, points) pair.
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
+    while lines and not lines[0]:
+        lines.pop(0)
     for i in range(0, len(lines), 2):
         toks = lines[i].split()
         img_id = int(toks[0])

@@ -121,8 +121,12 @@ def assemble_flame_table(
     else:
         so = np.asarray(first["static_offset"], np.float32)
         so = so.reshape(-1, 3) if so.ndim == 3 else so
-        if so.shape[0] != num_verts:  # pad e.g. teeth vertices
-            so = np.pad(so, ((0, num_verts - so.shape[0]), (0, 0)))
+        if so.shape[0] != num_verts:
+            # Pad (e.g. teeth vertices the dataset lacks) or truncate (an
+            # offset saved WITH teeth loaded into a no-teeth topology) —
+            # same clamping as viewers/local.py.
+            so = np.pad(so, ((0, max(0, num_verts - so.shape[0])), (0, 0)))
+            so = so[:num_verts]
         static_offset = so
 
     n_expr = int(np.asarray(first["expr"]).reshape(1, -1).shape[1])
@@ -202,14 +206,23 @@ class Scene:
         self.flame_table: Optional[Dict[str, np.ndarray]] = None
         self.num_timesteps = 0
         if info.train_meshes or info.tgt_train_meshes:
+            num_verts = num_verts_hint
+            if not num_verts:
+                # Infer from any mesh that carries a static_offset; FLAME
+                # npz files without one (it is optional everywhere else)
+                # fall back to the FLAME-2023 vertex count.
+                for m in [*info.train_meshes.values(),
+                          *info.tgt_train_meshes.values()]:
+                    if "static_offset" in m:
+                        num_verts = np.asarray(
+                            m["static_offset"]).reshape(-1, 3).shape[0]
+                        break
+                else:
+                    num_verts = 5143  # FLAME 2023 + teeth
             self.flame_table = assemble_flame_table(
                 info.train_meshes, info.test_meshes,
                 info.tgt_train_meshes, info.tgt_test_meshes,
-                num_verts=num_verts_hint
-                or max(
-                    np.asarray(m["static_offset"]).reshape(-1, 3).shape[0]
-                    for m in list(info.train_meshes.values())[:1]
-                ),
+                num_verts=num_verts,
             )
             self.num_timesteps = self.flame_table["expr"].shape[0]
 

@@ -397,6 +397,7 @@ def _post_step_events(
     save_set: set,
     ckpt_set: set,
     coordinator: bool = True,
+    eval_set: frozenset = frozenset(),
 ) -> None:
     """Densify / opacity-reset / eval / save / checkpoint at the standard
     cadences (`train.py:264-289` in the reference). Shared by `train` and
@@ -437,13 +438,15 @@ def _post_step_events(
     # deadlock). Detach a process-local copy of the replicated state first.
     ev_harness = harness
     if coordinator and jax.process_count() > 1 and (
-        (eval_every and it % eval_every == 0) or it in save_set or it in ckpt_set
+        (eval_every and it % eval_every == 0) or it in eval_set
+        or it in save_set or it in ckpt_set
     ):
         local_state = jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x)), harness.state
         )
         ev_harness = dataclasses.replace(harness, state=local_state)
-    if coordinator and eval_every and it % eval_every == 0:
+    if coordinator and ((eval_every and it % eval_every == 0)
+                        or it in eval_set):
         for split in ("val", "test"):
             m, pair = evaluate_split(
                 ev_harness, split, render_fn, sh_deg, max_views=eval_views,
@@ -503,6 +506,7 @@ def chunk_boundary(
     opt,
     save_iterations: Sequence[int] = (),
     checkpoint_iterations: Sequence[int] = (),
+    eval_iterations: Sequence[int] = (),
 ) -> int:
     """Last iteration (inclusive) of a scan chunk starting at iteration `i`.
 
@@ -524,7 +528,8 @@ def chunk_boundary(
                      o.opacity_reset_interval, eval_every or 0):
         if interval and interval > 0:
             cands.append(((i + interval - 1) // interval) * interval)
-    for s in list(save_iterations) + list(checkpoint_iterations):
+    for s in (list(save_iterations) + list(checkpoint_iterations)
+              + list(eval_iterations)):
         if s >= i:
             cands.append(s)
     # The one-time white-background opacity reset fires at exactly
@@ -577,6 +582,7 @@ def train(
     eval_every: Optional[int] = None,
     save_iterations: Sequence[int] = (),
     checkpoint_iterations: Sequence[int] = (),
+    eval_iterations: Sequence[int] = (),
     eval_views: int = 4,
     on_step: Optional[Callable[[int, dict], None]] = None,
     seed: int = 0,
@@ -659,6 +665,7 @@ def train(
     writer = _maybe_tensorboard(cfg.model.model_path)
     save_set = set(save_iterations)
     ckpt_set = set(checkpoint_iterations)
+    eval_set = frozenset(eval_iterations)
 
     def next_boundary(i: int) -> int:
         return chunk_boundary(
@@ -666,6 +673,7 @@ def train(
             log_every=log_every, eval_every=eval_every, opt=o,
             save_iterations=save_iterations,
             checkpoint_iterations=checkpoint_iterations,
+            eval_iterations=eval_iterations,
         )
 
     gui_connected = False
@@ -801,7 +809,7 @@ def train(
                 harness, it, active_sh_degree(it, cfg.model.sh_degree),
                 writer=writer, render_fn=render_fn, eval_every=eval_every,
                 eval_views=eval_views, bg=bg,
-                save_set=save_set, ckpt_set=ckpt_set,
+                save_set=save_set, ckpt_set=ckpt_set, eval_set=eval_set,
             )
             it += 1
     finally:
@@ -821,6 +829,7 @@ def train_sharded(
     eval_every: Optional[int] = None,
     save_iterations: Sequence[int] = (),
     checkpoint_iterations: Sequence[int] = (),
+    eval_iterations: Sequence[int] = (),
     eval_views: int = 4,
     gauss_shard: bool = False,
     seed: int = 0,
@@ -906,6 +915,7 @@ def train_sharded(
     t0 = time.time()
     save_set = set(save_iterations)
     ckpt_set = set(checkpoint_iterations)
+    eval_set = frozenset(eval_iterations)
 
     try:
         for it in range(harness.start_iteration + 1, iterations + 1):
@@ -995,7 +1005,7 @@ def train_sharded(
                 harness, it, sh_deg,
                 writer=writer, render_fn=render_fn, eval_every=eval_every,
                 eval_views=eval_views, bg=bg,
-                save_set=save_set, ckpt_set=ckpt_set,
+                save_set=save_set, ckpt_set=ckpt_set, eval_set=eval_set,
                 coordinator=coord,
             )
     finally:

@@ -152,25 +152,43 @@ class TrainingGuiServer(GuiServer):
                 lambda x: jnp.asarray(np.asarray(x)), harness.state
             )
             harness = dataclasses.replace(harness, state=local_state)
+        from ..data.cameras import jit_static_key
+
         while self.conn is not None:
             try:
                 cam, msg = self.receive()
+                image = None
                 if cam is not None:
-                    image = None
+                    t = min(cam.timestep, max(harness.scene.num_timesteps - 1, 0))
+                    # Strip the wire timestep from the jit cache key (it is
+                    # traced separately) — otherwise scrubbing the viewer's
+                    # timestep slider recompiles the render per value.
+                    cam_key = jit_static_key(cam)
                     if msg.get("show_splatting", True):
                         bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
-                        t = min(cam.timestep, max(harness.scene.num_timesteps - 1, 0))
                         image = np.asarray(self._render_fn(
-                            harness.state, cam, jnp.int32(t), bg, cfg.model.sh_degree
+                            harness.state, cam_key, jnp.int32(t), bg,
+                            cfg.model.sh_degree
                         ))
                     if harness.model is not None and msg.get("show_mesh", False):
                         image = self._mesh_overlay(harness, cam, msg, image)
-                    from ..models.gaussians import num_alive
+                    if image is None and (msg.get("show_splatting", True)
+                                          or msg.get("show_mesh", False)):
+                        # The client reads an image whenever it asked for
+                        # one — keep the byte stream in sync even when no
+                        # renderer could serve it (mesh-only vs an unbound
+                        # model).
+                        image = np.zeros((cam.height, cam.width, 3), np.float32)
+                from ..models.gaussians import num_alive
 
-                    self.send(image, {
-                        "num_timesteps": harness.scene.num_timesteps,
-                        "num_points": int(num_alive(harness.state.aux)),
-                    })
+                # Reply to EVERY request (the reference answers each
+                # message, train.py:143-172); a control-only message
+                # (resolution 0) still gets the stats JSON the client
+                # blocks on.
+                self.send(image, {
+                    "num_timesteps": harness.scene.num_timesteps,
+                    "num_points": int(num_alive(harness.state.aux)),
+                })
                 if msg["do_training"] and (
                     iteration < cfg.opt.iterations or not msg["keep_alive"]
                 ):

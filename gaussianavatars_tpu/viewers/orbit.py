@@ -271,6 +271,14 @@ class KeyframeEditor:
         k_x = np.asarray(k_x, np.float64)
         for ch in self.CHANNELS:
             k_y = np.stack([np.asarray(k[ch], np.float64) for k in kfs])
+            if ch == "rot":
+                # Hemisphere-align successive quaternions (q and -q are the
+                # same rotation): componentwise interpolation across a sign
+                # flip would pass near the zero quaternion and the camera
+                # would spin the long way (or wildly) between those keys.
+                for i in range(1, len(k_y)):
+                    if np.dot(k_y[i], k_y[i - 1]) < 0:
+                        k_y[i] = -k_y[i]
             f = interp1d(k_x, k_y, axis=0, kind=kind, fill_value="extrapolate")
             out[ch] = f(x)
         return out

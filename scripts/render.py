@@ -118,6 +118,28 @@ def main(argv=None):
     render_fn = make_render_fn(model, cfg, tile_config(cfg))
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
 
+    def mesh_overlay(img, cam, t, weight=0.5):
+        """Alpha-blend the FLAME mesh preview over the splat render
+        (reference `render.py` mesh option via NVDiffRenderer)."""
+        from gaussianavatars_tpu.models.flame.flame_model import FlameParams
+        from gaussianavatars_tpu.ops.mesh_raster import render_mesh_preview
+
+        fp = FlameParams(
+            shape=static.shape,
+            expr=flame.expr[t][None], rotation=flame.rotation[t][None],
+            neck=flame.neck[t][None], jaw=flame.jaw[t][None],
+            eyes=flame.eyes[t][None], translation=flame.translation[t][None],
+            static_offset=static.static_offset,
+        )
+        verts = model.forward(fp)[0]
+        out = render_mesh_preview(verts, model.faces, cam)
+        rgb = np.asarray(out["rgba"][..., :3])
+        alpha = np.asarray(out["rgba"][..., 3:])
+        return rgb * alpha * weight + img * (alpha * (1 - weight) + (1 - alpha))
+
+    if a.render_mesh and model is None:
+        print("[warn] --render_mesh ignored: model has no FLAME binding")
+
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=8)
     for split, skip in (("train", a.skip_train), ("val", a.skip_val),
                         ("test", a.skip_test)):
@@ -137,6 +159,8 @@ def main(argv=None):
                 state, jit_static_key(cams[i]), jnp.int32(cams[i].timestep), bg,
                 cfg.model.sh_degree,
             ))
+            if a.render_mesh and model is not None:
+                img = mesh_overlay(img, cams[i], int(cams[i].timestep))
             gt = load_view(recs[i], cams[i])
             pool.submit(write_png, os.path.join(rdir, f"{i:05d}.png"), img)
             pool.submit(write_png, os.path.join(gdir, f"{i:05d}.png"), gt)

@@ -29,7 +29,7 @@ for name in baseline innov1_region innov2_smartdens innov3_progressive \
   echo "=== training $name ==="
   # shellcheck disable=SC2086
   "$PY" "$HERE/train.py" -s "$SRC" -m "$model" --bind_to_mesh --eval \
-      $flags "${EXTRA[@]}"
+      $flags ${EXTRA[@]+"${EXTRA[@]}"}
   echo "=== rendering $name ==="
   "$PY" "$HERE/render.py" -m "$model" --skip_train --quiet
   echo "=== metrics $name ==="

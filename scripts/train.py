@@ -208,7 +208,8 @@ def main(argv=None):
             make_device_mesh(data=d, tile=t),
             iterations=a.iterations,
             log_every=a.log_every,
-            eval_every=iv,
+            eval_every=None,
+            eval_iterations=tests,
             save_iterations=saves,
             checkpoint_iterations=ckpts,
             gauss_shard=a.gauss_shard,
@@ -221,7 +222,8 @@ def main(argv=None):
             harness,
             iterations=a.iterations,
             log_every=a.log_every,
-            eval_every=iv,
+            eval_every=None,
+            eval_iterations=tests,
             save_iterations=saves,
             checkpoint_iterations=ckpts,
             seed=a.seed,
