@@ -88,7 +88,12 @@ def flame_region_weight_map(
         (("nose",), weight_nose),
     ]
     for names, wgt in regions:
-        vids = jnp.concatenate([jnp.asarray(region_vids[n]) for n in names if n in region_vids])
+        parts = [np.asarray(region_vids[n], np.int32).reshape(-1)
+                 for n in names if n in region_vids]
+        vids = np.concatenate(parts) if parts else np.zeros((0,), np.int32)
+        if vids.size == 0:  # region absent (or clipped away) — no boxes
+            continue
+        vids = jnp.asarray(vids)
         hit = jnp.zeros((height, width), jnp.float32)
         hit = hit.at[py[vids], px[vids]].set(1.0)
         # Dilate by `radius` with a separable max-pool.
