@@ -404,3 +404,22 @@ def test_chunk_boundary_pre_vs_post_step_events():
     ) == 1750
     # steps_per_call caps the chunk length.
     assert chunk_boundary(201, **{**kw, "steps_per_call": 10}) == 210
+
+
+def test_chunk_boundary_eval_and_densify_from():
+    """eval_iterations and densify_from_iter are post-step boundaries: the
+    chunk ends AT them so the eval / one-time white-bg opacity reset fires
+    on time (reference train.py:272-273)."""
+    from gaussianavatars_tpu.config import OptimizationConfig
+    from gaussianavatars_tpu.training.loop import chunk_boundary
+
+    o = OptimizationConfig(
+        densification_interval=250, opacity_reset_interval=100_000,
+        densify_from_iter=630,
+    )
+    kw = dict(iterations=10_000, steps_per_call=500, log_every=1000,
+              eval_every=None, opt=o)
+    # densify_from_iter mid-chunk ends the chunk there.
+    assert chunk_boundary(501, **kw) == 630
+    # --test_iterations entries bound chunks like saves do.
+    assert chunk_boundary(701, **{**kw, "eval_iterations": (730, 5000)}) == 730
