@@ -34,6 +34,10 @@ struct Image {
 
 // ---------------------------------------------------------------- PNG ----
 bool decode_png(FILE* f, Image* out) {
+  // Declared before setjmp: a longjmp from libpng must not jump over the
+  // construction of objects with destructors (UB; in practice a leak on
+  // corrupt images).
+  std::vector<png_bytep> rows;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) return false;
@@ -69,7 +73,7 @@ bool decode_png(FILE* f, Image* out) {
   out->h = static_cast<int>(h);
   out->channels = channels;
   out->data.resize(static_cast<size_t>(w) * h * channels);
-  std::vector<png_bytep> rows(h);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = out->data.data() + static_cast<size_t>(y) * w * channels;
   png_read_image(png, rows.data());
