@@ -27,12 +27,12 @@ import time
 
 import numpy as np
 
-# Prefer the real FLAME template topology when available.
-_t = "/root/reference/flame_model/assets/flame/head_template_mesh.obj"
-if os.path.exists(_t):
-    os.environ.setdefault("GSAVATARS_FLAME_TEMPLATE", _t)
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Prefer the real FLAME template topology when available.
+from gaussianavatars_tpu.models.flame.assets import bootstrap_template_env  # noqa: E402
+
+bootstrap_template_env()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -52,6 +52,16 @@ class FlameAssets(NamedTuple):
         return self.faces.shape[0]
 
 
+def bootstrap_template_env() -> None:
+    """Point GSAVATARS_FLAME_TEMPLATE at a locally available real FLAME
+    template when one exists (shared by bench.py and the scripts so they
+    all run the same topology; without it the synthetic UV-sphere topology
+    is used — still valid, different vertex count)."""
+    dev = "/root/reference/flame_model/assets/flame/head_template_mesh.obj"
+    if os.path.exists(dev):
+        os.environ.setdefault("GSAVATARS_FLAME_TEMPLATE", dev)
+
+
 def default_template_path() -> str:
     """Search order: env var → package assets dir → cwd assets dir."""
     candidates = [

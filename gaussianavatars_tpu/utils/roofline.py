@@ -72,8 +72,13 @@ def compositor_roofline(
       counts: [NT] per-tile binned Gaussian counts (pre-cap).
       capacity: tile capacity (cap on the composited count).
       tile_pixels: pixels per tile.
-      n_gauss: live Gaussians (for the sort volume).
-      tiles_per_gauss: average binned tiles per Gaussian (sort volume).
+      n_gauss: PADDED Gaussian capacity — the binning sort always covers
+        the full padded pair list (sentinel keys for dead slots sort to
+        the end), so the sort volume is capacity-based, not live-count
+        based. Passing the live count would understate t_sort and inflate
+        the SoL FPS.
+      tiles_per_gauss: the static per-Gaussian tile BUDGET
+        (TileConfig.max_tiles_per_gaussian) — same reasoning.
       height, width: image size (for Mpix/s conversion).
     """
     counts = np.asarray(counts)

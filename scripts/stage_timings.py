@@ -19,9 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_t = "/root/reference/flame_model/assets/flame/head_template_mesh.obj"
-if os.path.exists(_t):
-    os.environ.setdefault("GSAVATARS_FLAME_TEMPLATE", _t)
+from gaussianavatars_tpu.models.flame.assets import bootstrap_template_env
+
+bootstrap_template_env()
 
 import numpy as np
 

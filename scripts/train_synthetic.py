@@ -17,9 +17,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_t = "/root/reference/flame_model/assets/flame/head_template_mesh.obj"
-if os.path.exists(_t):
-    os.environ.setdefault("GSAVATARS_FLAME_TEMPLATE", _t)
+from gaussianavatars_tpu.models.flame.assets import bootstrap_template_env
+
+bootstrap_template_env()
 
 import numpy as np
 
@@ -183,6 +183,9 @@ def apply_quality_profile(a, parser_defaults):
 
 def main(argv=None):
     a = parse_args(argv)
+    if a.cameras < 2:
+        raise SystemExit("--cameras must be >= 2 (camera 0 is held out "
+                         "for the val split; 1 camera leaves no train views)")
     if a.quality:
         apply_quality_profile(a, vars(parse_args([])))
     from gaussianavatars_tpu.config import (
@@ -192,10 +195,28 @@ def main(argv=None):
     from gaussianavatars_tpu.models.flame import FlameConfig, FlameModel, synthetic_assets
 
     ref_model, ref_params, ref_aux = build_reference_avatar(a)
-    if not os.path.exists(os.path.join(a.workdir, "transforms_train.json")):
-        write_dataset(a, ref_model, ref_params, ref_aux)
-    else:
+    import json as _json
+
+    # Reuse the rendered dataset only when the generating configuration
+    # matches — otherwise metrics would be attributed to settings that
+    # never ran.
+    meta_keys = ("width", "height", "timesteps", "cameras", "seed",
+                 "per_face", "n_shape", "n_expr")
+    meta = {k: getattr(a, k) for k in meta_keys}
+    meta_path = os.path.join(a.workdir, "dataset_meta.json")
+    reuse = False
+    if os.path.exists(os.path.join(a.workdir, "transforms_train.json")):
+        try:
+            with open(meta_path) as f:
+                reuse = _json.load(f) == meta
+        except Exception:
+            reuse = False
+    if reuse:
         print(f"reusing dataset at {a.workdir}")
+    else:
+        write_dataset(a, ref_model, ref_params, ref_aux)
+        with open(meta_path, "w") as f:
+            _json.dump(meta, f)
 
     innov = {}
     if a.all_innovations:
@@ -259,7 +280,11 @@ def main(argv=None):
         active_sh_degree, evaluate_split, make_render_fn, tile_config,
     )
 
-    eval_tcfg = _dc.replace(tile_config(cfg), capacity=1024)
+    # The loop may have GROWN the tile budgets (overflow recovery) — the
+    # final eval must render with at least those, or the headline metrics
+    # are measured on partially rendered frames.
+    live = harness.live_tile_config or tile_config(cfg)
+    eval_tcfg = _dc.replace(live, capacity=max(live.capacity, 1024))
     render_fn = make_render_fn(model, cfg, eval_tcfg)
     sh_deg = active_sh_degree(a.iterations, cfg.model.sh_degree)
     result = {"args": {k: v for k, v in vars(a).items()}, "logs": logs}
