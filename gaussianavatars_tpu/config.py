@@ -45,6 +45,12 @@ class PipelineConfig:
     tile_w: int = 32
     capacity_per_tile: int = 1024
     max_tiles_per_gaussian: int = 16
+    # Two-class binning (0 = off): see ops/rasterize_tiled.TileConfig —
+    # only the `big_slots` largest-footprint Gaussians get the full
+    # max_tiles_per_gaussian budget; the rest get `small_budget` slots,
+    # shrinking the binning pair sort ~3x.
+    big_slots: int = 0
+    small_budget: int = 2
     use_pallas: bool = True         # pallas kernels on TPU, scan fallback elsewhere
 
 

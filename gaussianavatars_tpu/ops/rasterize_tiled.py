@@ -49,6 +49,17 @@ class TileConfig:
     tile_w: int = 32
     capacity: int = 1024          # max Gaussians composited per tile
     max_tiles_per_gaussian: int = 32  # per-Gaussian tile-budget for binning
+    # Two-class binning (0 = off): the `big_slots` Gaussians with the largest
+    # tile footprint get the full `max_tiles_per_gaussian` budget; everyone
+    # else gets `small_budget` slots. Most splats of a trained avatar touch
+    # 1-2 tiles, so this shrinks the sorted pair list ~3x (the pair sort is
+    # the #2 term in the roofline, utils/roofline.py) at the cost of one
+    # extra [N] argsort. Bit-identical to one-class binning whenever
+    # #(Gaussians with footprint > small_budget) <= big_slots; otherwise the
+    # truncation is counted in `Binned.budget_overflow` and the training
+    # loop's growth path recovers.
+    big_slots: int = 0
+    small_budget: int = 2
 
     def grid(self, height: int, width: int) -> tuple[int, int]:
         return (-(-height // self.tile_h), -(-width // self.tile_w))
@@ -117,36 +128,63 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
     # Expand: slot j of Gaussian i covers tile (tminy + j // bw, tminx + j % bw).
-    j = jnp.arange(budget, dtype=jnp.int32)[None, :]            # [1, B]
-    bw_safe = jnp.maximum(bw, 1)[:, None]
-    dy = j // bw_safe
-    dx = j - dy * bw_safe
-    tile = (tminy[:, None] + dy) * ntx + (tminx[:, None] + dx)  # [N, B]
-    valid = (j < ntiles_per_g[:, None]) & proj.mask[:, None]
-    tile_key = jnp.where(valid, tile, nt).astype(jnp.uint32)
+    def expand(tminx_c, tminy_c, bw_c, ntiles_c, mask_c, rank_c, gidx_c, bud):
+        j = jnp.arange(bud, dtype=jnp.int32)[None, :]           # [1, B]
+        bw_safe = jnp.maximum(bw_c, 1)[:, None]
+        dy = j // bw_safe
+        dx = j - dy * bw_safe
+        tile = (tminy_c[:, None] + dy) * ntx + (tminx_c[:, None] + dx)
+        valid = (j < ntiles_c[:, None]) & mask_c[:, None]
+        tile_key = jnp.where(valid, tile, nt).astype(jnp.uint32).reshape(-1)
+        rank_f = jnp.broadcast_to(rank_c[:, None], (rank_c.shape[0], bud)).reshape(-1)
+        gidx_f = jnp.broadcast_to(gidx_c[:, None], (gidx_c.shape[0], bud)).reshape(-1)
+        return tile_key, rank_f, gidx_f
+
+    gidx_all = jnp.arange(n, dtype=jnp.int32)
+    nb = min(cfg.big_slots, n)
+    if nb > 0:
+        # Two-class expansion: footprint-heavy Gaussians keep the full
+        # budget, the rest expand only `small_budget` slots (see TileConfig).
+        sb = cfg.small_budget
+        ntiles_eff = jnp.where(proj.mask, ntiles_per_g, 0)
+        big_idx = jnp.argsort(-ntiles_eff)[:nb]
+        is_big = jnp.zeros((n,), bool).at[big_idx].set(True)
+        tk_s, rk_s, gi_s = expand(
+            tminx, tminy, bw, ntiles_per_g, proj.mask & ~is_big,
+            rank, gidx_all, sb,
+        )
+        tk_b, rk_b, gi_b = expand(
+            tminx[big_idx], tminy[big_idx], bw[big_idx], ntiles_per_g[big_idx],
+            proj.mask[big_idx], rank[big_idx], big_idx, budget,
+        )
+        tile_key_f = jnp.concatenate([tk_s, tk_b])
+        rank_f = jnp.concatenate([rk_s, rk_b])
+        gidx_f = jnp.concatenate([gi_s, gi_b])
+        pair_drops = jnp.where(
+            proj.mask & is_big, jnp.maximum(ntiles_per_g - budget, 0), 0
+        ) + jnp.where(
+            proj.mask & ~is_big, jnp.maximum(ntiles_per_g - sb, 0), 0
+        )
+    else:
+        tile_key_f, rank_f, gidx_f = expand(
+            tminx, tminy, bw, ntiles_per_g, proj.mask, rank, gidx_all, budget
+        )
+        pair_drops = jnp.where(
+            proj.mask, jnp.maximum(ntiles_per_g - budget, 0), 0
+        )
 
     # Adaptive key split: tile bits as needed, depth-rank bits with the rest.
     tile_bits = max(int(nt + 1).bit_length(), 1)
     rank_bits = 31 - tile_bits
     if n <= (1 << rank_bits):
         # Fast path: one packed key (tile ≪ rank_bits | rank), one payload.
-        packed = (tile_key << rank_bits) | jnp.broadcast_to(
-            rank.astype(jnp.uint32)[:, None], tile_key.shape
-        )
-        flat_gidx = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], tile_key.shape
-        ).reshape(-1)
-        s_key, s_gidx = jax.lax.sort((packed.reshape(-1), flat_gidx), num_keys=1)
+        packed = (tile_key_f << rank_bits) | rank_f.astype(jnp.uint32)
+        s_key, s_gidx = jax.lax.sort((packed, gidx_f), num_keys=1)
         s_tile = (s_key >> rank_bits).astype(jnp.int32)
     else:
         # Large tile grids: lexicographic two-key sort.
-        flat_tile = tile_key.astype(jnp.int32).reshape(-1)
-        flat_rank = jnp.broadcast_to(rank[:, None], tile_key.shape).reshape(-1)
-        flat_gidx = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], tile_key.shape
-        ).reshape(-1)
         s_tile, _s_rank, s_gidx = jax.lax.sort(
-            (flat_tile, flat_rank, flat_gidx), num_keys=2
+            (tile_key_f.astype(jnp.int32), rank_f, gidx_f), num_keys=2
         )
 
     # Per-tile segment starts; table rows are contiguous slices of the sorted
@@ -176,9 +214,7 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     # `max_tiles_per_gaussian` budget — the trailing rows of the bbox are
     # what the truncation drops (grow `max_tiles_per_gaussian` to recover).
     overflow = jnp.sum(jnp.maximum(counts - cfg.capacity, 0))
-    budget_overflow = jnp.sum(
-        jnp.where(proj.mask, jnp.maximum(ntiles_per_g - budget, 0), 0)
-    )
+    budget_overflow = jnp.sum(pair_drops)
     return Binned(idx=idx, tile_origin=tile_origin, counts=counts,
                   overflow=overflow, budget_overflow=budget_overflow)
 

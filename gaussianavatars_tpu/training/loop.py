@@ -103,6 +103,7 @@ def tile_config(cfg: Config) -> TileConfig:
     return TileConfig(
         tile_h=p.tile_h, tile_w=p.tile_w, capacity=p.capacity_per_tile,
         max_tiles_per_gaussian=p.max_tiles_per_gaussian,
+        big_slots=p.big_slots, small_budget=p.small_budget,
     )
 
 
@@ -566,11 +567,18 @@ def _grow_tile_budgets(
         tcfg = dataclasses.replace(
             tcfg, max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2
         )
+        if tcfg.big_slots > 0:
+            # Two-class binning cannot attribute the drops to the big-class
+            # budget vs the big-class size, so grow both (each doubling only
+            # adds big_slots × budget pairs to the sort — cheap).
+            tcfg = dataclasses.replace(tcfg, big_slots=tcfg.big_slots * 2)
         if verbose:
             print(
                 f"[warn] tile-budget overflow ({budget_overflow} bbox tiles "
                 "truncated) — max_tiles_per_gaussian doubled to "
-                f"{tcfg.max_tiles_per_gaussian} (recompiling steps)"
+                f"{tcfg.max_tiles_per_gaussian}"
+                + (f", big_slots to {tcfg.big_slots}" if tcfg.big_slots else "")
+                + " (recompiling steps)"
             )
     return tcfg
 
