@@ -83,16 +83,20 @@ def main(argv=None):
 
     timed("geometry (FLAME+proj+SH)", lambda s: s + geometry(s)[0].mean2d[0, 0] * 0)
 
-    def with_binning(s, tight):
+    def with_binning(s, tight, tcfg=TILE):
         proj, colors, wg = geometry(s)
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
         opac = jnp.where(proj_sg.mask, wg.opacity, 0.0) if tight else None
-        binned = bin_gaussians(proj_sg, H, W, TILE, pallas_table=use_pallas,
+        binned = bin_gaussians(proj_sg, H, W, tcfg, pallas_table=use_pallas,
                                opacity=opac)
         return s + binned.idx[0, 0].astype(jnp.float32) * 0 + proj.mean2d[0, 0] * 0
 
     timed("geometry + binning (loose)", lambda s: with_binning(s, False))
     timed("geometry + binning (tight)", lambda s: with_binning(s, True))
+    # Pair-sort volume reduction: only the 8192 largest-footprint splats get
+    # the full tile budget (TileConfig.big_slots).
+    tile_2c = dataclasses.replace(TILE, big_slots=8192, small_budget=2)
+    timed("geometry + binning (two-class)", lambda s: with_binning(s, True, tile_2c))
 
     def fwd(s):
         jaw = jnp.zeros((1, 3)) + s * 1e-12
