@@ -65,6 +65,7 @@ def compositor_roofline(
     height: int,
     width: int,
     chip: ChipSpec = ChipSpec(),
+    sort_pairs: float | None = None,
 ) -> Dict[str, float]:
     """Speed-of-light times for one fwd(+bwd) render at this occupancy.
 
@@ -80,10 +81,15 @@ def compositor_roofline(
       tiles_per_gauss: the static per-Gaussian tile BUDGET
         (TileConfig.max_tiles_per_gaussian) — same reasoning.
       height, width: image size (for Mpix/s conversion).
+      sort_pairs: explicit sorted-pair count override; pass
+        n_gauss * small_budget + big_slots * max_tiles_per_gaussian for
+        two-class binning (TileConfig.big_slots > 0), which shrinks the
+        padded pair list the sort covers.
     """
     counts = np.asarray(counts)
     pairs = float(np.minimum(counts, capacity).sum()) * tile_pixels
-    sort_pairs = float(n_gauss) * tiles_per_gauss
+    if sort_pairs is None:
+        sort_pairs = float(n_gauss) * tiles_per_gauss
 
     t_fwd_vpu = pairs * FWD_FLOPS_PER_PAIR / chip.vpu_flops
     t_bwd_vpu = pairs * BWD_FLOPS_PER_PAIR / chip.vpu_flops
