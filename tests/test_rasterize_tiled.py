@@ -256,3 +256,18 @@ def test_two_class_binning_full_render_matches():
     out_t = render_tiled(means, scales, quats, opacity, cam, bg, colors=colors,
                          cfg=cfg2)
     np.testing.assert_allclose(out_t.color, out_d.color, atol=2e-5)
+
+
+def test_grow_tile_budgets_grows_big_class():
+    """Overflow recovery must also grow the big class in two-class mode —
+    otherwise small-class truncation could never recover."""
+    from gaussianavatars_tpu.training.loop import _grow_tile_budgets
+
+    one = TileConfig(16, 16, 128, 8)
+    g1 = _grow_tile_budgets(one, 0, 5, verbose=False)
+    assert g1.max_tiles_per_gaussian == 16 and g1.big_slots == 0
+
+    two = TileConfig(16, 16, 128, 8, big_slots=1024, small_budget=2)
+    g2 = _grow_tile_budgets(two, 0, 5, verbose=False)
+    assert g2.max_tiles_per_gaussian == 16 and g2.big_slots == 2048
+    assert _grow_tile_budgets(two, 0, 0, verbose=False) is None
