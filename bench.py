@@ -199,6 +199,32 @@ def main():
     else:
         print(f"two-class binning variant skipped: overflow {ovf2}", file=sys.stderr)
 
+    # --- cumprod forward-kernel variant (stderr metric) ----------------------
+    # GSAVATARS_FWD_IMPL=cumprod: one sequential multiply per slot instead of
+    # the ~12-op recurrence (ops/pallas/composite._fwd_kernel_cumprod).
+    # Promoted to the default once the Mosaic compile + win are confirmed.
+    fps3 = None
+    if use_pallas:
+        os.environ["GSAVATARS_FWD_IMPL"] = "cumprod"
+        try:
+            run3 = make_run_render(TILE)
+            r = run3(init)
+            float(r[1])  # compile + warm-up
+            fps3_rounds = []
+            for _ in range(N_ROUNDS):
+                t0 = time.perf_counter()
+                r = run3(init)
+                float(r[1])
+                fps3_rounds.append(N_ITER / (time.perf_counter() - t0))
+            fps3 = float(np.mean(fps3_rounds))
+            print(f"render (cumprod fwd kernel): {fps3:.1f} FPS "
+                  f"({100 * (fps3 / fps - 1):+.1f}%)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - TPU-compile only
+            print(f"cumprod fwd variant failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+        finally:
+            os.environ.pop("GSAVATARS_FWD_IMPL", None)
+
     # --- fwd+bwd training-style throughput ----------------------------------
     n_bwd = 100
 
@@ -266,6 +292,7 @@ def main():
         "pct_sol_fwd_bwd": round(100 * iters_per_s / sol["sol_train_iters_s"], 1),
         "fwd_bwd_iters_s": round(iters_per_s, 2),
         "fwd_bwd_amp_iters_s": round(iters_amp, 2),
+        **({"render_fps_cumprod": round(fps3, 2)} if fps3 else {}),
     }))
 
 

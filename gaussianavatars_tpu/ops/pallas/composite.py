@@ -175,6 +175,114 @@ def _fwd_kernel(
     stop_ref[0, 0, :] = stop.reshape(p)
 
 
+def _fwd_kernel_cumprod(
+    counts_ref,            # scalar-prefetch: [NT] i32
+    mean_ref,              # [1, C, 2]
+    conic_ref,             # [1, C, 3]
+    color_ref,             # [1, C, 3]
+    opac_ref,              # [1, C, 1]
+    acc_ref,               # out [1, 3, P]
+    tfin_ref,              # out [1, 1, P]
+    stop_ref,              # out [1, 1, P] i32
+    *,
+    th: int,
+    tw: int,
+    ntx: int,
+    capacity: int,
+):
+    """Forward compositing with the sequential work cut to ONE multiply/slot.
+
+    `_fwd_kernel` carries ~12 vector ops per slot in its loop-carried
+    recurrence (trigger/stop bookkeeping + 3-channel accumulation). This
+    variant exploits that, within a chunk, the frozen-transmittance
+    semantics are recoverable from an UNfrozen cumulative product: with
+    alpha_m = alpha masked by `use` and the carried stop index,
+
+      * cp_j = t_in · Π_{s≤j} (1 − alpha_m_s) is non-increasing, and the
+        per-pixel trigger of `_fwd_kernel` fires exactly at the first j
+        with cp_j < T_EPS (slots that do not pass `use`/`running` leave cp
+        unchanged, so the crossing slot is always a live one);
+      * slot j contributes iff cp_j ≥ T_EPS, with weight alpha_m_j·cp_{j−1}
+        (contributions after the crossing have cp < T_EPS, matching the
+        `running` gate of the sequential form because nothing survives past
+        the first trigger);
+      * the carried-out transmittance is the last cp still ≥ T_EPS — i.e.
+        min over the ok slots (cp is non-increasing), t_in when the first
+        live slot triggers — which equals the frozen value;
+      * the stop index is base + #{j : cp_j ≥ T_EPS} when a crossing
+        happens in this chunk, else unchanged (a pixel stopped in an
+        earlier chunk has all alpha_m = 0 here ⇒ cp = t_in ≥ T_EPS — the
+        frozen t always sits above T_EPS — so no crossing can re-fire).
+
+    Everything else — weights, stop detection, the colour accumulation —
+    becomes chunk-vectorised [K, rows, 128] ops with axis-0 reductions.
+    Exact parity with `_fwd_kernel` is tested in
+    tests/test_pallas_composite.py (forward, grads, early-stop scenes).
+    """
+    i = pl.program_id(0)
+    p = th * tw
+    rows = p // 128
+    x0 = ((i % ntx) * tw).astype(jnp.float32)
+    y0 = ((i // ntx) * th).astype(jnp.float32)
+    px, py = _pixel_coords(th, tw, x0, y0)
+
+    count = jnp.minimum(counts_ref[i], capacity)
+    K = _CHUNK
+    n_chunks = (count + K - 1) // K
+
+    ones = jnp.ones((1, rows, 128), jnp.float32)
+
+    def body(carry):
+        k, t, stop, a0, a1, a2, _alive = carry
+        base = k * K
+        mx, my, ca, cb, cc, c0, c1, c2, op = _load_chunk(
+            mean_ref, conic_ref, color_ref, opac_ref, base, K, ones=ones
+        )
+        _dx, _dy, _expp, alpha, use = _chunk_alpha(px, py, mx, my, ca, cb, cc, op)
+        slot_ids = base + jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+        # where-gate (not multiply): a non-finite alpha on a dead slot has
+        # use=False but would poison cp via NaN·0.
+        alpha_m = jnp.where(use & (slot_ids < stop[None]), alpha, 0.0)
+
+        # The ONLY loop-carried dependency: t_before_j = t·Π_{s<j}(1−alpha_m).
+        tb = []
+        tt = t
+        for j in range(K):
+            tb.append(tt)
+            tt = tt * (1.0 - alpha_m[j])
+        t_before = jnp.stack(tb)              # [K, rows, 128]
+        cp = t_before * (1.0 - alpha_m)       # unfrozen transmittance AFTER j
+        ok = cp >= T_EPS
+        w = jnp.where(ok, alpha_m * t_before, 0.0)
+        a0 = a0 + jnp.sum(w * c0, axis=0)
+        a1 = a1 + jnp.sum(w * c1, axis=0)
+        a2 = a2 + jnp.sum(w * c2, axis=0)
+        n_ok = jnp.sum(ok.astype(jnp.int32), axis=0)     # [rows, 128]
+        stop = jnp.where(n_ok < K, base + n_ok, stop)
+        t = jnp.min(jnp.where(ok, cp, t[None]), axis=0)
+        alive = jnp.max(stop) >= (k + 1) * K
+        return k + 1, t, stop, a0, a1, a2, alive
+
+    def cond(carry):
+        k, _t, _stop, _a0, _a1, _a2, alive = carry
+        return (k < n_chunks) & alive
+
+    zeros = jnp.zeros((rows, 128), jnp.float32)
+    init = (
+        jnp.int32(0),
+        zeros + 1.0,
+        jnp.full((rows, 128), capacity, jnp.int32),
+        zeros, zeros, zeros,
+        jnp.bool_(True),
+    )
+    _k, t, stop, a0, a1, a2, _ = jax.lax.while_loop(cond, body, init)
+    acc_ref[0, 0, :] = a0.reshape(p)
+    acc_ref[0, 1, :] = a1.reshape(p)
+    acc_ref[0, 2, :] = a2.reshape(p)
+    tfin_ref[0, 0, :] = t.reshape(p)
+    stop_ref[0, 0, :] = stop.reshape(p)
+
+
 def _bwd_kernel_moments(
     counts_ref,            # scalar-prefetch [NT] i32
     basis_ref,             # [R, 128, 8] moment basis (1, x, y, x², xy, y², 0, 0)
@@ -348,6 +456,180 @@ def _bwd_kernel_moments(
     jax.lax.fori_loop(0, n_chunks, chunk_body, (zeros + 1.0, a0, a1, a2))
 
 
+def _bwd_kernel_cumsum(
+    counts_ref,            # scalar-prefetch [NT] i32
+    basis_ref,             # [R, 128, 8] moment basis (1, x, y, x², xy, y², 0, 0)
+    mean_ref,              # [1, C, 2]
+    conic_ref,             # [1, C, 3]
+    color_ref,             # [1, C, 3]
+    opac_ref,              # [1, C, 1]
+    acc_ref,               # [1, 3, P] primal output (premultiplied colour)
+    tfin_ref,              # [1, 1, P]
+    stop_ref,              # [1, 1, P] i32
+    gacc_ref,              # [1, 3, P] cotangent of acc
+    gacct_ref,             # [1, R, 128, 3] same cotangent, matmul layout
+    gt_ref,                # [1, 1, P] cotangent of t_final
+    dmean_ref,             # out [1, C, 2]
+    dconic_ref,            # out [1, C, 3]
+    dcolor_ref,            # out [1, C, 3]
+    dopac_ref,             # out [1, C, 1]
+    *,
+    th: int,
+    tw: int,
+    ntx: int,
+    capacity: int,
+    amp: bool = False,
+):
+    """The moments backward with the sequential chain cut to 2 ops/slot.
+
+    `_bwd_kernel_moments` still walks the chunk slot-by-slot to carry the
+    transmittance and the three per-channel colour-prefix residuals (~15
+    loop-carried vector ops per slot). Two identities remove the residuals:
+
+      * t_before is a cumulative product of (1 − alpha_eff), exactly as in
+        `_fwd_kernel_cumprod` — but here no threshold bookkeeping is needed
+        at all, because the saved per-pixel `stop` already encodes where
+        compositing ended (slots ≥ stop are masked out of `contrib`);
+      * the suffix term only ever appears g-weighted:
+        gs_j = gt·t_final + Σ_c g_c·(a_c − prefix_{≤j,c})
+             = G − Σ_{s≤j} w_s·gc_s,   G = gt·t_final + Σ_c g_c·a_c,
+        since Σ_c g_c·w_s·c_{s,c} = w_s·gc_s and gc is already computed for
+        d_alpha — so THREE per-channel cumulative sums collapse into ONE
+        cumulative sum of q = w·gc, and G is a per-tile constant.
+
+    Everything else (the moment/colour MXU contractions, the polynomial
+    reconstruction of mean/conic grads, d_opacity = M1/op) is identical to
+    `_bwd_kernel_moments`. Exact-parity tests vs the scan compositor grads:
+    tests/test_pallas_composite.py.
+    """
+    i = pl.program_id(0)
+    p = th * tw
+    rows = p // 128
+    x0 = ((i % ntx) * tw).astype(jnp.float32)
+    y0 = ((i // ntx) * th).astype(jnp.float32)
+    # Tile-LOCAL pixel coordinates; means are shifted to match below.
+    px, py = _pixel_coords(th, tw, 0.0, 0.0)
+
+    count = jnp.minimum(counts_ref[i], capacity)
+
+    dmean_ref[...] = jnp.zeros_like(dmean_ref)
+    dconic_ref[...] = jnp.zeros_like(dconic_ref)
+    dcolor_ref[...] = jnp.zeros_like(dcolor_ref)
+    dopac_ref[...] = jnp.zeros_like(dopac_ref)
+
+    t_final = tfin_ref[0, 0, :].reshape(rows, 128)
+    stop = stop_ref[0, 0, :].reshape(rows, 128)
+    a0 = acc_ref[0, 0, :].reshape(rows, 128)
+    a1 = acc_ref[0, 1, :].reshape(rows, 128)
+    a2 = acc_ref[0, 2, :].reshape(rows, 128)
+    g0 = gacc_ref[0, 0, :].reshape(rows, 128)
+    g1 = gacc_ref[0, 1, :].reshape(rows, 128)
+    g2 = gacc_ref[0, 2, :].reshape(rows, 128)
+    g_t = gt_ref[0, 0, :].reshape(rows, 128)
+    big_g = g_t * t_final + g0 * a0 + g1 * a1 + g2 * a2   # per-tile constant G
+    basis = basis_ref[...]         # [rows, 128, 8]
+    gmat = gacct_ref[0]            # [rows, 128, 3]
+
+    K = _CHUNK
+    needed = jnp.minimum(count, jnp.max(stop) + 1)
+    n_chunks = (needed + K - 1) // K
+
+    ones = jnp.ones((1, rows, 128), jnp.float32)
+
+    def chunk_body(k, carry):
+        t, qsum = carry  # T before the chunk; Σ_{s<base} w_s·gc_s
+        base = k * K
+        m = mean_ref[0, pl.ds(base, K), :]     # [K, 2]
+        co = conic_ref[0, pl.ds(base, K), :]   # [K, 3]
+        cl = color_ref[0, pl.ds(base, K), :]   # [K, 3]
+        op = opac_ref[0, pl.ds(base, K), 0]    # [K]
+        r = lambda v: v.reshape(K, 1, 1)
+        b = lambda v: r(v) * ones
+        mxl = m[:, 0] - x0
+        myl = m[:, 1] - y0
+        ca_p, cb_p, cc_p = b(co[:, 0]), b(co[:, 1]), b(co[:, 2])
+        c0, c1, c2 = b(cl[:, 0]), b(cl[:, 1]), b(cl[:, 2])
+
+        dx = px[None] - r(mxl)
+        dy = py[None] - r(myl)
+        power = -0.5 * (ca_p * dx * dx + cc_p * dy * dy) - cb_p * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, r(op) * jnp.exp(power))
+        slot_ids = base + jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+        contrib = (power <= 0.0) & (alpha >= ALPHA_CUTOFF) & (slot_ids < stop[None])
+        alpha_eff = jnp.where(contrib, alpha, 0.0)          # w/alpha with masks
+        ua_eff = jnp.where(alpha < ALPHA_MAX, alpha_eff, 0.0)
+        inv_one = 1.0 / (1.0 - alpha)                       # alpha ≤ 0.99
+        gc = c0 * g0[None] + c1 * g1[None] + c2 * g2[None]  # [K, rows, 128]
+
+        # Sequential chain #1: transmittance before each slot.
+        tb = []
+        tt = t
+        for j in range(K):
+            tb.append(tt)
+            tt = tt * (1.0 - alpha_eff[j])
+        t_before = jnp.stack(tb)            # [K, rows, 128]
+        w_all = alpha_eff * t_before
+        q = w_all * gc
+        # Sequential chain #2: inclusive prefix of q across the chunk.
+        qs = []
+        qq = qsum
+        for j in range(K):
+            qq = qq + q[j]
+            qs.append(qq)
+        q_inc = jnp.stack(qs)               # [K, rows, 128]
+
+        gs = big_g[None] - q_inc
+        d_alpha = t_before * gc - inv_one * gs
+        # where-gate rather than multiply-by-zero: a non-finite alpha
+        # (degenerate conic on a dead slot) makes contrib False but
+        # d_alpha NaN, and NaN*0 = NaN would poison the whole chunk's
+        # moment contraction (the sibling kernels gate the same way).
+        d_p = jnp.where(contrib, d_alpha * ua_eff, 0.0)
+
+        # [K,rows,128] × [rows,128,F] — rows batched, lanes contracted → MXU.
+        if amp:
+            d_p = d_p.astype(jnp.bfloat16)
+            w_all = w_all.astype(jnp.bfloat16)
+        bs = basis.astype(jnp.bfloat16) if amp else basis
+        gm = gmat.astype(jnp.bfloat16) if amp else gmat
+        dims = (((2,), (1,)), ((1,), (0,)))
+        mom = jnp.sum(
+            jax.lax.dot_general(d_p, bs, dims,
+                                preferred_element_type=jnp.float32),
+            axis=0,
+        )  # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy, ·, ·
+        dl = jnp.sum(
+            jax.lax.dot_general(w_all, gm, dims,
+                                preferred_element_type=jnp.float32),
+            axis=0,
+        )  # [K, 3]
+
+        m1, mx, my = mom[:, 0], mom[:, 1], mom[:, 2]
+        mxx, mxy, myy = mom[:, 3], mom[:, 4], mom[:, 5]
+        s1_ = mx - mxl * m1
+        s2_ = my - myl * m1
+        sxx = mxx - 2.0 * mxl * mx + mxl * mxl * m1
+        sxy = mxy - mxl * my - myl * mx + mxl * myl * m1
+        syy = myy - 2.0 * myl * my + myl * myl * m1
+        ca, cb, cc = co[:, 0], co[:, 1], co[:, 2]
+        sl = pl.ds(base, K)
+        dmean_ref[0, sl, 0] = ca * s1_ + cb * s2_
+        dmean_ref[0, sl, 1] = cc * s2_ + cb * s1_
+        dconic_ref[0, sl, 0] = -0.5 * sxx
+        dconic_ref[0, sl, 1] = -sxy
+        dconic_ref[0, sl, 2] = -0.5 * syy
+        dcolor_ref[0, sl, 0] = dl[:, 0]
+        dcolor_ref[0, sl, 1] = dl[:, 1]
+        dcolor_ref[0, sl, 2] = dl[:, 2]
+        # d_opacity: alpha = op·e^power wherever unclamped, so
+        # Σ d_alpha·e^power = Σ d_p / op — no extra reduction.
+        dopac_ref[0, sl, 0] = m1 / jnp.maximum(op, 1e-12)
+        return tt, qq
+
+    zeros = jnp.zeros((rows, 128), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, (zeros + 1.0, zeros))
+
+
 def _bwd_kernel(
     counts_ref,            # scalar-prefetch [NT] i32
     mean_ref,              # [1, C, 2]
@@ -483,7 +765,13 @@ def _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx):
     p = th * tw
     assert p % 128 == 0, "tile pixel count must be a multiple of 128"
     assert c % _CHUNK == 0, f"tile capacity must be a multiple of {_CHUNK}"
-    kern = functools.partial(_fwd_kernel, th=th, tw=tw, ntx=ntx, capacity=c)
+    # GSAVATARS_FWD_IMPL=cumprod selects the cumulative-product forward
+    # (one sequential multiply per slot instead of the ~12-op recurrence);
+    # "loop" stays the default until the variant's Mosaic compile + win are
+    # confirmed on real TPU (scripts/micro_bwd_compile.py --fwd, bench.py).
+    use_cumprod = os.environ.get("GSAVATARS_FWD_IMPL", "loop") == "cumprod"
+    kern_fn = _fwd_kernel_cumprod if use_cumprod else _fwd_kernel
+    kern = functools.partial(kern_fn, th=th, tw=tw, ntx=ntx, capacity=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -532,8 +820,12 @@ def _bwd_call(res: _Res, g_acc_t, g_t, th, tw, ntx, amp=False):
     p = th * tw
     rows = p // 128
     g_acc = jnp.moveaxis(g_acc_t, 2, 1)  # [NT, 3, P] plane layout
-    use_moments = os.environ.get("GSAVATARS_BWD_IMPL", "moments") == "moments"
-    kern_fn = _bwd_kernel_moments if use_moments else _bwd_kernel
+    impl = os.environ.get("GSAVATARS_BWD_IMPL", "moments")
+    kern_fn = {
+        "moments": _bwd_kernel_moments,
+        "cumsum": _bwd_kernel_cumsum,   # moments + 2-op/slot sequential chain
+    }.get(impl, _bwd_kernel)            # anything else → replay
+    use_moments = kern_fn is not _bwd_kernel  # moment-basis input plumbing
     kw = {"amp": amp} if use_moments else {}
     kern = functools.partial(kern_fn, th=th, tw=tw, ntx=ntx, capacity=c, **kw)
     moment_specs = ([pl.BlockSpec((rows, 128, 8), lambda i, *_: (0, 0, 0))]

@@ -87,6 +87,78 @@ def test_early_stop_parity_with_opaque_scene():
     np.testing.assert_allclose(np.asarray(o2.color), np.asarray(o1.color), atol=2e-6)
 
 
+def test_cumprod_fwd_matches_loop_fwd(monkeypatch):
+    """GSAVATARS_FWD_IMPL=cumprod must match the sequential fwd kernel
+    bit-for-bit-ish on color/alpha, including an opaque early-stop scene."""
+    for seed, opaque in [(0, False), (1, False), (0, True)]:
+        means, scales, quats, opac, colors, cam = _scene(seed=seed)
+        if opaque:
+            opac = jnp.full_like(opac, 0.999)
+            scales = scales * 3.0
+        monkeypatch.delenv("GSAVATARS_FWD_IMPL", raising=False)
+        base = render_tiled(means, scales, quats, opac, cam, jnp.array([0.3, 0.1, 0.6]),
+                            colors=colors, cfg=CFG, use_pallas=True)
+        monkeypatch.setenv("GSAVATARS_FWD_IMPL", "cumprod")
+        alt = render_tiled(means, scales, quats, opac, cam, jnp.array([0.3, 0.1, 0.6]),
+                           colors=colors, cfg=CFG, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(alt.color), np.asarray(base.color),
+                                   atol=2e-6, err_msg=f"seed={seed} opaque={opaque}")
+        np.testing.assert_allclose(np.asarray(alt.alpha), np.asarray(base.alpha),
+                                   atol=2e-6, err_msg=f"seed={seed} opaque={opaque}")
+
+
+def test_cumprod_fwd_grads_match_scan(monkeypatch):
+    """The saved residuals (acc/t_final/stop) of the cumprod fwd must feed
+    the backward identically: grads vs the scan compositor."""
+    means, scales, quats, opac, colors, cam = _scene(seed=2)
+    # Opaque-ish so the stop indices are actually exercised in the residuals.
+    opac = jnp.clip(opac * 2.0, 0.0, 0.98)
+    target = jnp.zeros((48, 64, 3)) + 0.4
+
+    def loss(means, scales, quats, opac, colors, use_pallas):
+        out = render_tiled(means, scales, quats, opac, cam, jnp.zeros(3),
+                           colors=colors, cfg=CFG, use_pallas=use_pallas)
+        return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+    g_scan = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, colors, False)
+    monkeypatch.setenv("GSAVATARS_FWD_IMPL", "cumprod")
+    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, colors, True)
+    for gs, gp, name in zip(g_scan, g_pl, ["means", "scales", "quats", "opac", "colors"]):
+        gs, gp = np.asarray(gs), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gs).max() + 1e-12
+        np.testing.assert_allclose(gp, gs, atol=3e-5 * scale, rtol=2e-4,
+                                   err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["cumsum", "replay"])
+def test_bwd_impl_grads_match_scan(impl, monkeypatch):
+    """Every GSAVATARS_BWD_IMPL variant must produce the scan compositor's
+    gradients (the default 'moments' is covered by test_gradients_match_scan)."""
+    means, scales, quats, opac, colors, cam = _scene(seed=1)
+    opac = jnp.clip(opac * 2.0, 0.0, 0.98)  # exercise the stop indices
+    target = jnp.zeros((48, 64, 3)) + 0.3
+
+    def loss(means, scales, quats, opac, colors, use_pallas):
+        out = render_tiled(means, scales, quats, opac, cam, jnp.zeros(3),
+                           colors=colors, cfg=CFG, use_pallas=use_pallas)
+        return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+    g_scan = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, colors, False)
+    monkeypatch.setenv("GSAVATARS_BWD_IMPL", impl)
+    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means, scales, quats, opac, colors, True)
+    for gs, gp, name in zip(g_scan, g_pl, ["means", "scales", "quats", "opac", "colors"]):
+        gs, gp = np.asarray(gs), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gs).max() + 1e-12
+        np.testing.assert_allclose(gp, gs, atol=3e-5 * scale, rtol=2e-4,
+                                   err_msg=name)
+
+
 def test_jit_and_value_grad_consistency():
     means, scales, quats, opac, colors, cam = _scene()
 
