@@ -52,6 +52,14 @@ class PipelineConfig:
     big_slots: int = 0
     small_budget: int = 2
     use_pallas: bool = True         # pallas kernels on TPU, scan fallback elsewhere
+    # Pair-layout rasterization (ops/pairs.py): capacity-free per-tile
+    # segments with early-exit chunked kernels — the production path.
+    # False falls back to the padded-table pipeline.
+    use_pairs: bool = True
+    # Total sorted-pair capacity for the pair layout (0 = safe maximum =
+    # the full expansion). Smaller trims the per-frame parameter gather;
+    # overflow is observed and grown by the training loop.
+    pair_cap: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

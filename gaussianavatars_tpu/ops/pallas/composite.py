@@ -95,29 +95,6 @@ def _chunk_alpha(px, py, mx, my, ca, cb, cc, op):
     return dx, dy, expp, alpha, use
 
 
-def _contract_rows(a, b, amp: bool):
-    """Σ_r a[:, r, :] @ b[r] as plain 2D MXU matmuls → [K, F].
-
-    a: [K, rows, 128], b: [rows, 128, F]. Mosaic's tpu.matmul rejects the
-    rows-batched dot_general formulation ("batch dims must be equal" on
-    real v5e — the LHS/RHS batch dims land in different positions), so the
-    rows axis is unrolled into `rows` ordinary [K,128]×[128,F] contractions
-    accumulated in f32. Under AMP the inputs drop to bf16 (one MXU pass,
-    f32 accumulation).
-    """
-    if amp:
-        a = a.astype(jnp.bfloat16)
-        b = b.astype(jnp.bfloat16)
-    rows = b.shape[0]
-    dims = (((1,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(
-        a[:, 0, :], b[0], dims, preferred_element_type=jnp.float32)
-    for rr in range(1, rows):
-        acc = acc + jax.lax.dot_general(
-            a[:, rr, :], b[rr], dims, preferred_element_type=jnp.float32)
-    return acc
-
-
 def _fwd_kernel(
     counts_ref,            # scalar-prefetch: [NT] i32
     mean_ref,              # [1, C, 2]

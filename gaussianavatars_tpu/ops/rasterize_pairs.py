@@ -1,0 +1,185 @@
+"""Pair-layout rasterization pipeline (production TPU path).
+
+Composes the pair binning (`ops/pairs.py`) with the Pallas pair compositor
+(`ops/pallas/composite_pairs.py`) into a differentiable image, replacing the
+capacity-capped table pipeline for single-chip rendering/training. Two
+custom-VJP seams keep every backward step O(pairs) and deterministic:
+
+  * `pair_gather` — Gaussian-major screen parameters → param-major pair
+    table. Its VJP un-permutes pair gradients back to the pre-sort
+    expansion layout with ONE permutation scatter (unique indices — no
+    scatter-add, no atomics) and reduces over each Gaussian's tile budget
+    with a plain reshape-sum. This replaces what XLA autodiff would emit
+    for the gather (a scatter-add at ~8 ns/element on v5e — measured ~30×
+    slower than this route).
+  * `composite_pairs` — the Pallas forward/backward kernels.
+
+The background blend and tile→image assembly stay ordinary JAX (autodiff
+handles them). Semantics match `ops/rasterize_dense.py`, the tested ground
+truth, and the CUDA rasterizer the reference builds on
+(`gaussian_renderer/__init__.py:86-94`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from .pairs import PAIR_CHUNK, PairBins, bin_pairs
+from .rasterize_tiled import TileConfig
+from .pallas.composite_pairs import bwd_call_pairs, fwd_call_pairs
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+# ---------------------------------------------------------------------------
+# pair_gather: Gaussian-major params -> param-major pair table
+# ---------------------------------------------------------------------------
+
+
+def _gather_impl(mean2d, conic, colors, opacity, gidx, total):
+    packed = jnp.concatenate(
+        [mean2d, conic, colors, opacity[:, None]], axis=-1
+    )  # [N, 9]
+    valid = jnp.arange(gidx.shape[0], dtype=jnp.int32) < total
+    rows = packed[jnp.clip(gidx, 0)]          # [pair_cap, 9]
+    # Zero the whole row for padding slots: opacity 0 makes them no-ops in
+    # the compositor; zero conic keeps their alpha finite.
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    rows = jnp.pad(rows, ((0, PAIR_CHUNK), (0, 16 - rows.shape[1])))
+    return rows.T                              # [16, pair_cap + PAIR_CHUNK]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def pair_gather(n_expand: int, mean2d, conic, colors, opacity, gidx, pos, total):
+    """[16, pair_cap + PAIR_CHUNK] param-major pair table.
+
+    n_expand: static expansion size (`PairBins.n_expand`).
+    gidx/pos/total: from `bin_pairs(..., with_pos=True)` (integer, non-diff).
+    """
+    return _gather_impl(mean2d, conic, colors, opacity, gidx, total)
+
+
+def _pair_gather_fwd(n_expand, mean2d, conic, colors, opacity, gidx, pos, total):
+    out = _gather_impl(mean2d, conic, colors, opacity, gidx, total)
+    return out, (gidx, pos, total, mean2d.shape[0])
+
+
+def _pair_gather_bwd(n_expand, res, d_dataT):
+    gidx, pos, total, n = res
+    m_exp = n_expand
+    cap = gidx.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < total
+    d_rows = d_dataT.T[:cap, :9]               # [pair_cap, 9]
+    # Mask: kernel-unwritten tails and chunk-overrun slop are all invalid.
+    d_rows = jnp.where(valid[:, None], d_rows, 0.0)
+    # Un-permute to the pre-sort expansion layout by SORTING on `pos` (the
+    # full expansion's positions — unique, so the ascending order IS the
+    # expansion order; pair_cap-dropped pairs contribute zero rows). A wide
+    # (key + 9 payload) sort measures ~6.4 ns/pair on v5e — ~5× faster
+    # than XLA's row scatter (~60 ns/row) and ~10× faster than scatter-add.
+    length = pos.shape[0]
+    if length > cap:
+        d_rows = jnp.pad(d_rows, ((0, length - cap), (0, 0)))
+    res = jax.lax.sort(
+        (pos,) + tuple(d_rows[:, j] for j in range(9)), num_keys=1
+    )
+    d_exp = jnp.stack(res[1:], axis=-1)[:m_exp]
+    # One-class expansion layout [N, budget]: reduce over the tile budget.
+    d_packed = d_exp.reshape(n, -1, 9).sum(axis=1)
+    return (
+        d_packed[:, 0:2],
+        d_packed[:, 2:5],
+        d_packed[:, 5:8],
+        d_packed[:, 8],
+        _float0_like(gidx),
+        _float0_like(pos),
+        _float0_like(total),
+    )
+
+
+pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# composite_pairs: pair table -> per-tile images (Pallas, custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def composite_pairs(geom, dataT, starts, counts):
+    """Pair-segment compositor. geom = static (tile_h, tile_w, ntx, amp).
+
+    Returns (acc [NT, P, 3] premultiplied colour, t_final [NT, P])."""
+    th, tw, ntx = geom[:3]
+    acc, tfin, _stop = fwd_call_pairs(dataT, starts, counts, th, tw, ntx)
+    return jnp.moveaxis(acc, 1, 2), tfin
+
+
+def _composite_pairs_fwd(geom, dataT, starts, counts):
+    th, tw, ntx = geom[:3]
+    acc, tfin, stop = fwd_call_pairs(dataT, starts, counts, th, tw, ntx)
+    return (jnp.moveaxis(acc, 1, 2), tfin), (dataT, starts, counts, acc, tfin, stop)
+
+
+def _composite_pairs_bwd(geom, res, cot):
+    th, tw, ntx = geom[:3]
+    amp = bool(geom[3]) if len(geom) > 3 else False
+    dataT, starts, counts, acc, tfin, stop = res
+    g_acc_t, g_t = cot                     # [NT, P, 3], [NT, P]
+    d_dataT = bwd_call_pairs(
+        dataT, starts, counts, acc, tfin, stop, g_acc_t, g_t, th, tw, ntx, amp=amp
+    )
+    return d_dataT, _float0_like(starts), _float0_like(counts)
+
+
+composite_pairs.defvjp(_composite_pairs_fwd, _composite_pairs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+def rasterize_pairs(
+    proj_mean2d: jnp.ndarray,
+    proj_conic: jnp.ndarray,
+    colors: jnp.ndarray,
+    opacity: jnp.ndarray,
+    bins: PairBins,
+    height: int,
+    width: int,
+    bg_color: jnp.ndarray,
+    cfg: TileConfig,
+    amp: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Composite the binned pairs into an image (differentiable w.r.t. the
+    screen-space inputs). Returns (color [H, W, 3], alpha [H, W])."""
+    sg = jax.lax.stop_gradient
+    pos = bins.pos
+    if pos is None:
+        # Render-only binning: any permutation target works for the (unused)
+        # backward; use a zero placeholder of matching shape.
+        pos = jnp.zeros_like(bins.gidx)
+    dataT = pair_gather(
+        bins.n_expand, proj_mean2d, proj_conic, colors, opacity,
+        sg(bins.gidx), sg(pos), sg(bins.total),
+    )
+    nty, ntx = cfg.grid(height, width)
+    acc, t_final = composite_pairs(
+        (cfg.tile_h, cfg.tile_w, ntx, amp),
+        dataT, sg(bins.tile_starts), sg(bins.counts),
+    )
+    out = acc + t_final[..., None] * bg_color[None, None, :]
+
+    th, tw = cfg.tile_h, cfg.tile_w
+    img = out.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(nty * th, ntx * tw, 3)[:height, :width]
+    alpha = (1.0 - t_final).reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
+    alpha = alpha.reshape(nty * th, ntx * tw)[:height, :width]
+    return img, alpha

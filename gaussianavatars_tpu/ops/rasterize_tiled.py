@@ -60,6 +60,11 @@ class TileConfig:
     # loop's growth path recovers.
     big_slots: int = 0
     small_budget: int = 2
+    # Pair-layout total aligned-pair capacity (0 = safe default that can
+    # never overflow: the full expansion plus per-tile alignment padding).
+    # Smaller values shrink the pair gather; `PairBins.overflow` reports
+    # any truncation so the training loop's growth machinery can re-trace.
+    pair_cap: int = 0
 
     def grid(self, height: int, width: int) -> tuple[int, int]:
         return (-(-height // self.tile_h), -(-width // self.tile_w))
@@ -74,19 +79,21 @@ class Binned(NamedTuple):
     #     the per-Gaussian `max_tiles_per_gaussian` budget (bbox truncation)
 
 
-def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
-                  pallas_table: bool = True,
-                  opacity: Optional[jnp.ndarray] = None) -> Binned:
-    """Assign Gaussians to image tiles, front-to-back within each tile.
+def expand_sorted_pairs(
+    proj: Projected, height: int, width: int, cfg: TileConfig,
+    opacity: Optional[jnp.ndarray] = None,
+    with_pos: bool = False,
+):
+    """Expand per-Gaussian tile bboxes into (tile, depth-rank) pairs and sort.
 
-    All integer bookkeeping; wrapped in stop_gradient by callers.
+    The shared front half of both binning layouts (`bin_gaussians` table
+    layout and `ops/pairs.bin_pairs` pair layout). All integer bookkeeping;
+    wrapped in stop_gradient by callers.
 
-    TPU cost model (measured, v5e): `jax.lax.sort` ≈ 2.2 ms per million
-    (key, payload) pairs, scatters ≈ 5 ms/M but gathers ≈ 0.9 ms/M — so the
-    tile table is built by *slicing the sorted array per tile* (a gather)
-    rather than scattering sorted entries into slots. Depth ordering rides in
-    the low bits of a single packed uint32 sort key (tile ≪ 22 | depth-rank),
-    replacing the CUDA radix sort over 64-bit (tile, depth) keys.
+    TPU cost model (measured, v5e): `jax.lax.sort` ≈ 2-3 ns per (key,
+    payload) pair. Depth ordering rides in the low bits of a single packed
+    uint32 sort key (tile ≪ rank_bits | depth-rank), replacing the CUDA
+    radix sort over 64-bit (tile, depth) keys.
 
     With ``opacity`` (the same values the compositor will use), the bbox is
     the exact axis-aligned box of the alpha-cutoff ellipse
@@ -95,6 +102,12 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     Gaussian) pair has alpha < cutoff over the whole tile, so the composited
     image is bit-identical while sort pairs and tile occupancy shrink
     (substantially for anisotropic or low-opacity splats).
+
+    Returns (s_tile [M] int32, s_gidx [M] int32, s_pos [M] int32 | None,
+    pair_drops [N] int32, nt, ntx) where M is the static padded pair count
+    (invalid pairs carry tile == nt and sort to the end) and s_pos is each
+    sorted pair's position in the pre-sort expansion layout (for gradient
+    un-permutation; only with ``with_pos``).
     """
     nty, ntx = cfg.grid(height, width)
     nt = nty * ntx
@@ -176,16 +189,47 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     # Adaptive key split: tile bits as needed, depth-rank bits with the rest.
     tile_bits = max(int(nt + 1).bit_length(), 1)
     rank_bits = 31 - tile_bits
+    pos_f = (jnp.arange(tile_key_f.shape[0], dtype=jnp.int32)
+             if with_pos else None)
     if n <= (1 << rank_bits):
         # Fast path: one packed key (tile ≪ rank_bits | rank), one payload.
         packed = (tile_key_f << rank_bits) | rank_f.astype(jnp.uint32)
-        s_key, s_gidx = jax.lax.sort((packed, gidx_f), num_keys=1)
+        if with_pos:
+            s_key, s_gidx, s_pos = jax.lax.sort((packed, gidx_f, pos_f), num_keys=1)
+        else:
+            s_key, s_gidx = jax.lax.sort((packed, gidx_f), num_keys=1)
+            s_pos = None
         s_tile = (s_key >> rank_bits).astype(jnp.int32)
     else:
         # Large tile grids: lexicographic two-key sort.
-        s_tile, _s_rank, s_gidx = jax.lax.sort(
-            (tile_key_f.astype(jnp.int32), rank_f, gidx_f), num_keys=2
-        )
+        if with_pos:
+            s_tile, _s_rank, s_gidx, s_pos = jax.lax.sort(
+                (tile_key_f.astype(jnp.int32), rank_f, gidx_f, pos_f), num_keys=2
+            )
+        else:
+            s_tile, _s_rank, s_gidx = jax.lax.sort(
+                (tile_key_f.astype(jnp.int32), rank_f, gidx_f), num_keys=2
+            )
+            s_pos = None
+    return s_tile, s_gidx, s_pos, pair_drops, nt, ntx
+
+
+def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
+                  pallas_table: bool = True,
+                  opacity: Optional[jnp.ndarray] = None) -> Binned:
+    """Assign Gaussians to image tiles, front-to-back within each tile.
+
+    Table layout: a dense [num_tiles, capacity] index table built by slicing
+    the sorted pair array per tile (a contiguous gather per tile). See
+    `expand_sorted_pairs` for the shared expansion/sort and
+    `ops/pairs.bin_pairs` for the capacity-free pair layout used by the
+    production Pallas path.
+    """
+    nty, ntx = cfg.grid(height, width)
+    nt = nty * ntx
+    s_tile, s_gidx, _s_pos, pair_drops, nt, ntx = expand_sorted_pairs(
+        proj, height, width, cfg, opacity=opacity
+    )
 
     # Per-tile segment starts; table rows are contiguous slices of the sorted
     # order (front-to-back within a tile by construction) — built by NT
@@ -459,14 +503,18 @@ def render_tiled(
     compositor=None,
     use_pallas: bool = True,
     amp: bool = False,
+    pairs: Optional[bool] = None,
 ) -> RenderOutput:
     """Drop-in tiled equivalent of `render_dense` (same semantics).
 
-    By default the per-tile compositing runs as the Pallas TPU kernel
-    (`ops/pallas/composite.py`, interpreted off-TPU); pass
-    `use_pallas=False` (or an explicit `compositor`) for the lax.scan path.
-    `amp` selects bf16 inputs for the backward's MXU contractions (the
-    `use_amp` policy, config.py).
+    By default (`pairs=None`) the production **pair-layout** pipeline runs
+    when `use_pallas` and no explicit compositor is given: capacity-free
+    per-tile segments walked by the chunked-DMA Pallas kernels
+    (`ops/pairs.py`, `ops/pallas/composite_pairs.py`; interpreted off-TPU).
+    `pairs=False` selects the padded-table path (`bin_gaussians` +
+    `ops/pallas/composite.py` or the lax.scan compositor with
+    `use_pallas=False`). `amp` selects bf16 inputs for the backward's MXU
+    contractions (the `use_amp` policy, config.py).
     """
     proj = project_from_params(means3d, scales, quats, camera, scale_modifier, alive=alive)
     if colors is None:
@@ -477,6 +525,26 @@ def render_tiled(
         colors = eval_sh_color_kc(sh, dirs, sh_degree)
 
     opac_eff = jnp.where(proj.mask, opacity, 0.0)
+    if pairs is None:
+        pairs = use_pallas and compositor is None
+    if pairs:
+        from .pairs import bin_pairs
+        from .rasterize_pairs import rasterize_pairs
+
+        bins = bin_pairs(
+            jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+            camera.height, camera.width, cfg,
+            opacity=jax.lax.stop_gradient(opac_eff),
+            with_pos=True,
+            pair_cap=cfg.pair_cap or None,
+        )
+        img, alpha = rasterize_pairs(
+            proj.mean2d, proj.conic, colors, opac_eff, bins,
+            camera.height, camera.width, bg_color, cfg, amp=amp,
+        )
+        return RenderOutput(
+            color=img, alpha=alpha, radii=proj.radius, visibility=proj.radius > 0
+        )
     binned = bin_gaussians(
         jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
         camera.height, camera.width, cfg,

@@ -104,6 +104,7 @@ def tile_config(cfg: Config) -> TileConfig:
         tile_h=p.tile_h, tile_w=p.tile_w, capacity=p.capacity_per_tile,
         max_tiles_per_gaussian=p.max_tiles_per_gaussian,
         big_slots=p.big_slots, small_budget=p.small_budget,
+        pair_cap=p.pair_cap,
     )
 
 
@@ -557,12 +558,22 @@ def _grow_tile_budgets(
     if overflow <= 0 and budget_overflow <= 0:
         return None
     if overflow > 0:
-        tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
-        if verbose:
-            print(
-                f"[warn] tile capacity overflow ({overflow} splats culled) — "
-                f"tile capacity doubled to {tcfg.capacity} (recompiling steps)"
-            )
+        if tcfg.pair_cap > 0:
+            # Pair layout: `overflow` counts sorted pairs truncated by the
+            # total pair_cap (there is no per-tile capacity to grow).
+            tcfg = dataclasses.replace(tcfg, pair_cap=tcfg.pair_cap * 2)
+            if verbose:
+                print(
+                    f"[warn] pair-cap overflow ({overflow} pairs truncated) — "
+                    f"pair_cap doubled to {tcfg.pair_cap} (recompiling steps)"
+                )
+        else:
+            tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
+            if verbose:
+                print(
+                    f"[warn] tile capacity overflow ({overflow} splats culled) — "
+                    f"tile capacity doubled to {tcfg.capacity} (recompiling steps)"
+                )
     if budget_overflow > 0:
         tcfg = dataclasses.replace(
             tcfg, max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2

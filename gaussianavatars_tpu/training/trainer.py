@@ -293,31 +293,55 @@ def make_train_step(
         )
         proj, verts, reg_terms = geo_aux
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        binned = bin_gaussians(
-            proj_sg, H, W, tile_cfg,
-            opacity=jax.lax.stop_gradient(screen[3]),
+        use_pairs = (
+            cfg.pipeline.use_pairs and cfg.pipeline.use_pallas
+            and compositor is None
         )
-        if compositor is None:
-            if cfg.pipeline.use_pallas:
-                from ..ops.pallas.composite import make_pallas_compositor
+        if use_pairs:
+            from ..ops.pairs import bin_pairs
+            from ..ops.rasterize_pairs import rasterize_pairs
 
-                _nty, ntx = tile_cfg.grid(H, W)
-                step_compositor = make_pallas_compositor(
-                    binned.counts, tile_cfg.tile_h, tile_cfg.tile_w, ntx,
-                    amp=o.use_amp,
-                )
-            else:
-                step_compositor = composite_tiles
+            pair_bins = bin_pairs(
+                proj_sg, H, W, tile_cfg,
+                opacity=jax.lax.stop_gradient(screen[3]),
+                with_pos=True, pair_cap=tile_cfg.pair_cap or None,
+            )
+            overflow = pair_bins.overflow
+            budget_overflow = pair_bins.budget_overflow
         else:
-            step_compositor = compositor
+            binned = bin_gaussians(
+                proj_sg, H, W, tile_cfg,
+                opacity=jax.lax.stop_gradient(screen[3]),
+            )
+            overflow = binned.overflow
+            budget_overflow = binned.budget_overflow
+            if compositor is None:
+                if cfg.pipeline.use_pallas:
+                    from ..ops.pallas.composite import make_pallas_compositor
+
+                    _nty, ntx = tile_cfg.grid(H, W)
+                    step_compositor = make_pallas_compositor(
+                        binned.counts, tile_cfg.tile_h, tile_cfg.tile_w, ntx,
+                        amp=o.use_amp,
+                    )
+                else:
+                    step_compositor = composite_tiles
+            else:
+                step_compositor = compositor
 
         # ------------------------------------------------ stage 2: image loss
         def image_loss(screen, color_net):
             mean2d, conic, colors, opac = screen
-            img, alpha = rasterize_binned(
-                mean2d, conic, colors, opac, binned, H, W, bg_color, tile_cfg,
-                compositor=step_compositor,
-            )
+            if use_pairs:
+                img, alpha = rasterize_pairs(
+                    mean2d, conic, colors, opac, pair_bins, H, W, bg_color,
+                    tile_cfg, amp=o.use_amp,
+                )
+            else:
+                img, alpha = rasterize_binned(
+                    mean2d, conic, colors, opac, binned, H, W, bg_color, tile_cfg,
+                    compositor=step_compositor,
+                )
             if color_net is not None:
                 img = color_net_apply(color_net, img)
             losses = {}
@@ -393,8 +417,8 @@ def make_train_step(
             "loss": total,
             "psnr": psnr(jax.lax.stop_gradient(img), gt_image),
             "num_visible": jnp.sum(proj_sg.radius > 0),
-            "overflow": binned.overflow,
-            "budget_overflow": binned.budget_overflow,
+            "overflow": overflow,
+            "budget_overflow": budget_overflow,
             **{k: v for k, v in {**loss_terms, **reg_terms}.items()},
         }
         new_state = TrainState(

@@ -34,7 +34,7 @@ def _both(seed=0):
     )
     out_pl = render_tiled(
         means, scales, quats, opac, cam, jnp.array([0.1, 0.2, 0.3]),
-        colors=colors, cfg=CFG, use_pallas=True,
+        colors=colors, cfg=CFG, use_pallas=True, pairs=False,
     )
     return out_scan, out_pl
 
@@ -58,7 +58,7 @@ def test_gradients_match_scan(seed):
     def loss(means, scales, quats, opac, colors, use_pallas):
         out = render_tiled(
             means, scales, quats, opac, cam, jnp.zeros(3),
-            colors=colors, cfg=CFG, use_pallas=use_pallas,
+            colors=colors, cfg=CFG, use_pallas=use_pallas, pairs=False,
         )
         return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
 
@@ -83,7 +83,7 @@ def test_early_stop_parity_with_opaque_scene():
     o1 = render_tiled(means, scales * 3.0, quats, opac, cam, jnp.zeros(3),
                       colors=colors, cfg=CFG, use_pallas=False)
     o2 = render_tiled(means, scales * 3.0, quats, opac, cam, jnp.zeros(3),
-                      colors=colors, cfg=CFG, use_pallas=True)
+                      colors=colors, cfg=CFG, use_pallas=True, pairs=False)
     np.testing.assert_allclose(np.asarray(o2.color), np.asarray(o1.color), atol=2e-6)
 
 
@@ -97,10 +97,10 @@ def test_cumprod_fwd_matches_loop_fwd(monkeypatch):
             scales = scales * 3.0
         monkeypatch.delenv("GSAVATARS_FWD_IMPL", raising=False)
         base = render_tiled(means, scales, quats, opac, cam, jnp.array([0.3, 0.1, 0.6]),
-                            colors=colors, cfg=CFG, use_pallas=True)
+                            colors=colors, cfg=CFG, use_pallas=True, pairs=False)
         monkeypatch.setenv("GSAVATARS_FWD_IMPL", "cumprod")
         alt = render_tiled(means, scales, quats, opac, cam, jnp.array([0.3, 0.1, 0.6]),
-                           colors=colors, cfg=CFG, use_pallas=True)
+                           colors=colors, cfg=CFG, use_pallas=True, pairs=False)
         np.testing.assert_allclose(np.asarray(alt.color), np.asarray(base.color),
                                    atol=2e-6, err_msg=f"seed={seed} opaque={opaque}")
         np.testing.assert_allclose(np.asarray(alt.alpha), np.asarray(base.alpha),
@@ -117,7 +117,7 @@ def test_cumprod_fwd_grads_match_scan(monkeypatch):
 
     def loss(means, scales, quats, opac, colors, use_pallas):
         out = render_tiled(means, scales, quats, opac, cam, jnp.zeros(3),
-                           colors=colors, cfg=CFG, use_pallas=use_pallas)
+                           colors=colors, cfg=CFG, use_pallas=use_pallas, pairs=False)
         return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
 
     g_scan = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
@@ -143,7 +143,7 @@ def test_bwd_impl_grads_match_scan(impl, monkeypatch):
 
     def loss(means, scales, quats, opac, colors, use_pallas):
         out = render_tiled(means, scales, quats, opac, cam, jnp.zeros(3),
-                           colors=colors, cfg=CFG, use_pallas=use_pallas)
+                           colors=colors, cfg=CFG, use_pallas=use_pallas, pairs=False)
         return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
 
     g_scan = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
@@ -165,7 +165,7 @@ def test_jit_and_value_grad_consistency():
     @jax.jit
     def f(means):
         out = render_tiled(means, scales, quats, opac, cam, jnp.zeros(3),
-                           colors=colors, cfg=CFG, use_pallas=True)
+                           colors=colors, cfg=CFG, use_pallas=True, pairs=False)
         return jnp.sum(out.color)
 
     v = f(means)
