@@ -48,7 +48,16 @@ WIDTH, HEIGHT = 802, 550
 N_ITER = 500
 N_ROUNDS = 3
 BASELINE_FPS = 85.0  # reference: demo avatar, RTX-class GPU (INNOVATIONS_5.md:16)
-TILE = TileConfig(tile_h=32, tile_w=32, capacity=512, max_tiles_per_gaussian=8)
+# Pair-layout config (the production path): two-class expansion sized so the
+# bench scene truncates NOTHING (probed: 15.6k splats need >4 tiles, max
+# footprint 49 tiles, 315k live pairs). pair_cap bounds the sorted prefix the
+# kernels/gathers touch; binning reports any overflow and the guard below
+# asserts zero.
+TILE = TileConfig(
+    tile_h=32, tile_w=32, capacity=512,
+    max_tiles_per_gaussian=64, big_slots=16384, small_budget=4,
+    pair_cap=458752,
+)
 
 
 def build_scene(per_face=9, seed=0):
@@ -112,45 +121,45 @@ def main():
 
     run_render = make_run_render(TILE)
 
-    # Guard: the tightened tile budget (capacity 512, 8 tiles/Gaussian) must
-    # not drop splats, or the headline FPS is measured on partial frames.
+    # Guard: the pair binning must not truncate anything, or the headline FPS
+    # is measured on partial frames. The pair layout has no per-tile capacity;
+    # the only budgets are the per-Gaussian tile budget (two-class) and
+    # pair_cap, both observable here.
+    from gaussianavatars_tpu.ops.pairs import bin_pairs
     from gaussianavatars_tpu.ops.projection import project_from_params
-    from gaussianavatars_tpu.ops.rasterize_tiled import bin_gaussians
 
     verts0 = model.forward(fl)
     wg0 = world_gaussians(params, aux, face_frames(verts0[0], model.faces))
     proj0 = project_from_params(wg0.means, wg0.scales, wg0.quats, cam, alive=wg0.alive)
-    binned0 = bin_gaussians(
+    bins0 = bin_pairs(
         proj0, HEIGHT, WIDTH, TILE,
         opacity=jnp.where(proj0.mask, wg0.opacity, 0.0),
+        with_pos=True, pair_cap=TILE.pair_cap,
     )
-    overflow = int(binned0.overflow) + int(binned0.budget_overflow)
-    max_count = int(binned0.counts.max())
-    print(f"tile budget: max_count={max_count}/{TILE.capacity}, "
-          f"overflow={int(binned0.overflow)}, "
-          f"budget_overflow={int(binned0.budget_overflow)}", file=sys.stderr)
+    overflow = int(bins0.overflow) + int(bins0.budget_overflow)
+    print(f"pair binning: total={int(bins0.total)}/{TILE.pair_cap}, "
+          f"max tile count={int(bins0.counts.max())}, "
+          f"overflow={int(bins0.overflow)}, "
+          f"budget_overflow={int(bins0.budget_overflow)}", file=sys.stderr)
     assert overflow == 0, (
-        f"tile capacity/budget overflow ({overflow} pairs dropped) — bench "
-        "numbers would be measured on partially rendered frames"
+        f"pair binning overflow ({overflow} pairs dropped) — bench numbers "
+        "would be measured on partially rendered frames"
     )
 
     # Speed-of-light model at this scene's actual occupancy
     # (utils/roofline.py; BASELINE.md:32 asks for the %-of-SoL framing).
-    from gaussianavatars_tpu.utils.roofline import compositor_roofline
+    from gaussianavatars_tpu.utils.roofline import pairs_roofline
 
-    counts_np = np.asarray(binned0.counts)
-    # The binning sort covers the FULL padded [capacity, budget] pair list
-    # (sentinel keys for dead/unused slots sort to the end).
-    sol = compositor_roofline(
-        counts_np, TILE.capacity, TILE.tile_h * TILE.tile_w,
-        n_gauss=params.means.shape[0],
-        tiles_per_gauss=TILE.max_tiles_per_gaussian,
+    sol = pairs_roofline(
+        np.asarray(bins0.counts), TILE.tile_h * TILE.tile_w,
+        n_expand=bins0.n_expand, pair_cap=TILE.pair_cap,
         height=HEIGHT, width=WIDTH,
     )
     print(
-        "roofline (v5e): "
+        "roofline (v5e, pair layout): "
         f"fwd {sol['t_fwd_vpu_ms']:.2f}ms + bwd {sol['t_bwd_vpu_ms']:.2f}ms "
         f"+ sort {sol['t_sort_ms']:.2f}ms + gather {sol['t_gather_ms']:.2f}ms "
+        f"+ unpermute {sol['t_unpermute_ms']:.2f}ms "
         f"(HBM floor {sol['t_hbm_floor_ms']:.2f}ms) → "
         f"SoL render {sol['sol_render_fps']:.0f} FPS, "
         f"SoL train {sol['sol_train_iters_s']:.0f} it/s "
@@ -171,59 +180,6 @@ def main():
         fps_rounds.append(N_ITER / (time.perf_counter() - t0))
         print(f"round {rd}: {fps_rounds[-1]:.1f} FPS", file=sys.stderr)
     fps = float(np.mean(fps_rounds))
-
-    # --- two-class binning variant (stderr metric) ---------------------------
-    # Same frames through the big_slots/small_budget pair-sort reduction
-    # (ops/rasterize_tiled.TileConfig); sized so nothing truncates, asserted
-    # below like the main config. Promoted to the headline config once the
-    # measured win is in docs/tpu_performance.md.
-    tile2 = dataclasses.replace(TILE, big_slots=8192, small_budget=2)
-    binned2 = bin_gaussians(
-        proj0, HEIGHT, WIDTH, tile2,
-        opacity=jnp.where(proj0.mask, wg0.opacity, 0.0),
-    )
-    ovf2 = int(binned2.overflow) + int(binned2.budget_overflow)
-    if ovf2 == 0:
-        run2 = make_run_render(tile2)
-        r = run2(init)
-        float(r[1])  # compile + warm-up
-        fps2_rounds = []
-        for _ in range(N_ROUNDS):
-            t0 = time.perf_counter()
-            r = run2(init)
-            float(r[1])
-            fps2_rounds.append(N_ITER / (time.perf_counter() - t0))
-        fps2 = float(np.mean(fps2_rounds))
-        print(f"render (two-class binning, big_slots=8192): {fps2:.1f} FPS "
-              f"({100 * (fps2 / fps - 1):+.1f}%)", file=sys.stderr)
-    else:
-        print(f"two-class binning variant skipped: overflow {ovf2}", file=sys.stderr)
-
-    # --- cumprod forward-kernel variant (stderr metric) ----------------------
-    # GSAVATARS_FWD_IMPL=cumprod: one sequential multiply per slot instead of
-    # the ~12-op recurrence (ops/pallas/composite._fwd_kernel_cumprod).
-    # Promoted to the default once the Mosaic compile + win are confirmed.
-    fps3 = None
-    if use_pallas:
-        os.environ["GSAVATARS_FWD_IMPL"] = "cumprod"
-        try:
-            run3 = make_run_render(TILE)
-            r = run3(init)
-            float(r[1])  # compile + warm-up
-            fps3_rounds = []
-            for _ in range(N_ROUNDS):
-                t0 = time.perf_counter()
-                r = run3(init)
-                float(r[1])
-                fps3_rounds.append(N_ITER / (time.perf_counter() - t0))
-            fps3 = float(np.mean(fps3_rounds))
-            print(f"render (cumprod fwd kernel): {fps3:.1f} FPS "
-                  f"({100 * (fps3 / fps - 1):+.1f}%)", file=sys.stderr)
-        except Exception as e:  # pragma: no cover - TPU-compile only
-            print(f"cumprod fwd variant failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
-        finally:
-            os.environ.pop("GSAVATARS_FWD_IMPL", None)
 
     # --- fwd+bwd training-style throughput ----------------------------------
     n_bwd = 100
@@ -258,18 +214,7 @@ def main():
         float(r[0])
         return n_bwd / (time.perf_counter() - t0)
 
-    # The moment-contraction backward (GSAVATARS_BWD_IMPL=moments, the
-    # default) is the fast path; if its Mosaic compile ever regresses, fall
-    # back to the replay kernel rather than losing the whole bench run.
-    try:
-        iters_per_s = measure_fwd_bwd(amp=False)
-    except Exception as e:  # pragma: no cover - TPU-compile only
-        if os.environ.get("GSAVATARS_BWD_IMPL", "moments") == "replay":
-            raise
-        print(f"moments backward failed ({type(e).__name__}: {e}); "
-              "retrying with GSAVATARS_BWD_IMPL=replay", file=sys.stderr)
-        os.environ["GSAVATARS_BWD_IMPL"] = "replay"
-        iters_per_s = measure_fwd_bwd(amp=False)
+    iters_per_s = measure_fwd_bwd(amp=False)
     mpix = iters_per_s * WIDTH * HEIGHT / 1e6
     print(f"fwd+bwd: {iters_per_s:.2f} iters/s, {mpix:.1f} Mpix/s "
           f"({WIDTH}x{HEIGHT})", file=sys.stderr)
@@ -292,7 +237,6 @@ def main():
         "pct_sol_fwd_bwd": round(100 * iters_per_s / sol["sol_train_iters_s"], 1),
         "fwd_bwd_iters_s": round(iters_per_s, 2),
         "fwd_bwd_amp_iters_s": round(iters_amp, 2),
-        **({"render_fps_cumprod": round(fps3, 2)} if fps3 else {}),
     }))
 
 

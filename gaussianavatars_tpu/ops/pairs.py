@@ -55,6 +55,9 @@ class PairBins(NamedTuple):
     budget_overflow: jnp.ndarray  # [] int32 pairs dropped by the per-Gaussian
     #     max_tiles_per_gaussian bbox budget
     n_expand: int             # static: expansion size M (for grad un-permutation)
+    big_idx: Optional[jnp.ndarray] = None  # [nb] int32 Gaussian index per
+    #     big-class row (two-class binning only; see `expand_sorted_pairs`)
+    small_budget: int = 0     # static: small-class budget (two-class only)
 
 
 def default_pair_cap(n_gauss: int, cfg: TileConfig) -> int:
@@ -85,7 +88,7 @@ def bin_pairs(
     kept prefix (smaller = cheaper parameter gather; truncation is counted
     in ``overflow`` — grow and re-trace to recover).
     """
-    s_tile, s_gidx, s_pos, pair_drops, nt, ntx = expand_sorted_pairs(
+    s_tile, s_gidx, s_pos, pair_drops, nt, ntx, big_idx = expand_sorted_pairs(
         proj, height, width, cfg, opacity=opacity, with_pos=with_pos
     )
     m_exp = s_gidx.shape[0]
@@ -120,6 +123,8 @@ def bin_pairs(
         gidx=s_gidx, pos=s_pos, tile_starts=starts_c, counts=counts,
         total=jnp.minimum(total, pair_cap), overflow=overflow,
         budget_overflow=jnp.sum(pair_drops), n_expand=m_exp,
+        big_idx=big_idx,
+        small_budget=cfg.small_budget if big_idx is not None else 0,
     )
 
 

@@ -409,26 +409,12 @@ def _bwd_kernel_moments(
         d_p = jnp.stack(d_p_list)   # [K, rows, 128]
         w_all = jnp.stack(w_list)
 
-        # [K,rows,128] × [rows,128,F] — rows batched, lanes contracted → MXU.
+        # [K,rows,128] × [rows,128,F] — rows unrolled, lanes contracted → MXU.
         # Under the AMP policy the contraction inputs drop to bf16 (one MXU
         # pass, f32 accumulation): ~0.4% relative gradient error, quantified
         # in tests/test_amp.py.
-        if amp:
-            d_p = d_p.astype(jnp.bfloat16)
-            w_all = w_all.astype(jnp.bfloat16)
-        bs = basis.astype(jnp.bfloat16) if amp else basis
-        gm = gmat.astype(jnp.bfloat16) if amp else gmat
-        dims = (((2,), (1,)), ((1,), (0,)))
-        mom = jnp.sum(
-            jax.lax.dot_general(d_p, bs, dims,
-                                preferred_element_type=jnp.float32),
-            axis=0,
-        )  # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy, ·, ·
-        dl = jnp.sum(
-            jax.lax.dot_general(w_all, gm, dims,
-                                preferred_element_type=jnp.float32),
-            axis=0,
-        )  # [K, 3]
+        mom = _row_contract(d_p, basis, amp)   # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy
+        dl = _row_contract(w_all, gmat, amp)   # [K, 3]
 
         m1, mx, my = mom[:, 0], mom[:, 1], mom[:, 2]
         mxx, mxy, myy = mom[:, 3], mom[:, 4], mom[:, 5]
@@ -586,23 +572,9 @@ def _bwd_kernel_cumsum(
         # moment contraction (the sibling kernels gate the same way).
         d_p = jnp.where(contrib, d_alpha * ua_eff, 0.0)
 
-        # [K,rows,128] × [rows,128,F] — rows batched, lanes contracted → MXU.
-        if amp:
-            d_p = d_p.astype(jnp.bfloat16)
-            w_all = w_all.astype(jnp.bfloat16)
-        bs = basis.astype(jnp.bfloat16) if amp else basis
-        gm = gmat.astype(jnp.bfloat16) if amp else gmat
-        dims = (((2,), (1,)), ((1,), (0,)))
-        mom = jnp.sum(
-            jax.lax.dot_general(d_p, bs, dims,
-                                preferred_element_type=jnp.float32),
-            axis=0,
-        )  # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy, ·, ·
-        dl = jnp.sum(
-            jax.lax.dot_general(w_all, gm, dims,
-                                preferred_element_type=jnp.float32),
-            axis=0,
-        )  # [K, 3]
+        # [K,rows,128] × [rows,128,F] — rows unrolled, lanes contracted → MXU.
+        mom = _row_contract(d_p, basis, amp)   # [K, 8]: M1, Mx, My, Mxx, Mxy, Myy
+        dl = _row_contract(w_all, gmat, amp)   # [K, 3]
 
         m1, mx, my = mom[:, 0], mom[:, 1], mom[:, 2]
         mxx, mxy, myy = mom[:, 3], mom[:, 4], mom[:, 5]
@@ -798,6 +770,28 @@ def _fwd_call(g_mean2d, g_conic, g_color, g_opac, counts, th, tw, ntx):
         interpret=_should_interpret(),
     )(counts, g_mean2d, g_conic, g_color, g_opac[:, :, None])
     return acc, tfin[:, 0, :], stop[:, 0, :]
+
+
+def _row_contract(mat, basis, amp: bool):
+    """Σ_r mat[:, r, :] @ basis[r] → [K, F] as UNROLLED 2D MXU dots.
+
+    Equivalent to `dot_general` with rows batched and lanes contracted,
+    then summed over rows — but Mosaic has no batched matmul (it rejects
+    the 3D form with "Not Implemented: batch dims must be equal"), so the
+    row axis is unrolled into `rows` small [K,128]×[128,F] dots. Under the
+    AMP policy the dot inputs drop to bf16 with f32 accumulation.
+    """
+    if amp:
+        mat = mat.astype(jnp.bfloat16)
+        basis = basis.astype(jnp.bfloat16)
+    out = None
+    for r in range(mat.shape[1]):
+        t = jax.lax.dot_general(
+            mat[:, r, :], basis[r], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = t if out is None else out + t
+    return out
 
 
 @functools.lru_cache(maxsize=None)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..rasterize_dense import ALPHA_CUTOFF, ALPHA_MAX, T_EPS
-from .composite import _pixel_coords, _moment_basis
+from .composite import _pixel_coords, _moment_basis, _row_contract
 
 _CHUNK = 512   # pairs per DMA chunk (one [16, 512] slice, 32 KB)
 _SUB = 64      # slots per unrolled inner group
@@ -294,22 +294,10 @@ def _bwd_kernel_pairs(
                 d_p = jnp.stack(d_p_list)   # [64, rows, 128]
                 w_all = jnp.stack(w_list)
 
-                if amp:
-                    d_p = d_p.astype(jnp.bfloat16)
-                    w_all = w_all.astype(jnp.bfloat16)
-                bs = basis.astype(jnp.bfloat16) if amp else basis
-                gm = gmat.astype(jnp.bfloat16) if amp else gmat
-                dims = (((2,), (1,)), ((1,), (0,)))
-                mom = jnp.sum(
-                    jax.lax.dot_general(d_p, bs, dims,
-                                        preferred_element_type=jnp.float32),
-                    axis=0,
-                )  # [64, 8]: M1, Mx, My, Mxx, Mxy, Myy, ·, ·
-                dl = jnp.sum(
-                    jax.lax.dot_general(w_all, gm, dims,
-                                        preferred_element_type=jnp.float32),
-                    axis=0,
-                )  # [64, 3]
+                # Rows unrolled into 2D MXU dots (Mosaic has no batched
+                # matmul — see composite._row_contract).
+                mom = _row_contract(d_p, basis, amp)   # [64, 8]
+                dl = _row_contract(w_all, gmat, amp)   # [64, 3]
 
                 m1, mx_, my_ = mom[:, 0], mom[:, 1], mom[:, 2]
                 mxx, mxy, myy = mom[:, 3], mom[:, 4], mom[:, 5]

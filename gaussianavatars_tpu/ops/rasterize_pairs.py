@@ -55,23 +55,27 @@ def _gather_impl(mean2d, conic, colors, opacity, gidx, total):
     return rows.T                              # [16, pair_cap + PAIR_CHUNK]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def pair_gather(n_expand: int, mean2d, conic, colors, opacity, gidx, pos, total):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def pair_gather(n_expand: int, small_budget: int,
+                mean2d, conic, colors, opacity, gidx, pos, total, big_idx):
     """[16, pair_cap + PAIR_CHUNK] param-major pair table.
 
     n_expand: static expansion size (`PairBins.n_expand`).
-    gidx/pos/total: from `bin_pairs(..., with_pos=True)` (integer, non-diff).
+    small_budget: static small-class budget (0 = single-class layout).
+    gidx/pos/total/big_idx: from `bin_pairs(..., with_pos=True)` (integer,
+    non-diff; big_idx may be a zero-length placeholder when single-class).
     """
     return _gather_impl(mean2d, conic, colors, opacity, gidx, total)
 
 
-def _pair_gather_fwd(n_expand, mean2d, conic, colors, opacity, gidx, pos, total):
+def _pair_gather_fwd(n_expand, small_budget,
+                     mean2d, conic, colors, opacity, gidx, pos, total, big_idx):
     out = _gather_impl(mean2d, conic, colors, opacity, gidx, total)
-    return out, (gidx, pos, total, mean2d.shape[0])
+    return out, (gidx, pos, total, big_idx, mean2d.shape[0])
 
 
-def _pair_gather_bwd(n_expand, res, d_dataT):
-    gidx, pos, total, n = res
+def _pair_gather_bwd(n_expand, small_budget, res, d_dataT):
+    gidx, pos, total, big_idx, n = res
     m_exp = n_expand
     cap = gidx.shape[0]
     valid = jnp.arange(cap, dtype=jnp.int32) < total
@@ -90,8 +94,18 @@ def _pair_gather_bwd(n_expand, res, d_dataT):
         (pos,) + tuple(d_rows[:, j] for j in range(9)), num_keys=1
     )
     d_exp = jnp.stack(res[1:], axis=-1)[:m_exp]
-    # One-class expansion layout [N, budget]: reduce over the tile budget.
-    d_packed = d_exp.reshape(n, -1, 9).sum(axis=1)
+    if small_budget > 0:
+        # Two-class expansion layout concat([N, sb], [nb, budget]): reduce
+        # each class over its budget, then add the big rows onto their
+        # Gaussians (unique indices — one small scatter-add of nb rows).
+        sb = small_budget
+        nb = big_idx.shape[0]
+        d_small = d_exp[: n * sb].reshape(n, sb, 9).sum(axis=1)
+        d_big = d_exp[n * sb:].reshape(nb, -1, 9).sum(axis=1)
+        d_packed = d_small.at[big_idx].add(d_big)
+    else:
+        # One-class expansion layout [N, budget]: reduce over the tile budget.
+        d_packed = d_exp.reshape(n, -1, 9).sum(axis=1)
     return (
         d_packed[:, 0:2],
         d_packed[:, 2:5],
@@ -100,6 +114,7 @@ def _pair_gather_bwd(n_expand, res, d_dataT):
         _float0_like(gidx),
         _float0_like(pos),
         _float0_like(total),
+        _float0_like(big_idx),
     )
 
 
@@ -166,9 +181,12 @@ def rasterize_pairs(
         # Render-only binning: any permutation target works for the (unused)
         # backward; use a zero placeholder of matching shape.
         pos = jnp.zeros_like(bins.gidx)
+    big_idx = bins.big_idx
+    if big_idx is None:
+        big_idx = jnp.zeros((0,), jnp.int32)
     dataT = pair_gather(
-        bins.n_expand, proj_mean2d, proj_conic, colors, opacity,
-        sg(bins.gidx), sg(pos), sg(bins.total),
+        bins.n_expand, bins.small_budget, proj_mean2d, proj_conic, colors,
+        opacity, sg(bins.gidx), sg(pos), sg(bins.total), sg(big_idx),
     )
     nty, ntx = cfg.grid(height, width)
     acc, t_final = composite_pairs(

@@ -104,10 +104,14 @@ def expand_sorted_pairs(
     (substantially for anisotropic or low-opacity splats).
 
     Returns (s_tile [M] int32, s_gidx [M] int32, s_pos [M] int32 | None,
-    pair_drops [N] int32, nt, ntx) where M is the static padded pair count
-    (invalid pairs carry tile == nt and sort to the end) and s_pos is each
-    sorted pair's position in the pre-sort expansion layout (for gradient
-    un-permutation; only with ``with_pos``).
+    pair_drops [N] int32, nt, ntx, big_idx [nb] int32 | None) where M is the
+    static padded pair count (invalid pairs carry tile == nt and sort to the
+    end) and s_pos is each sorted pair's position in the pre-sort expansion
+    layout (for gradient un-permutation; only with ``with_pos``). With
+    two-class binning (cfg.big_slots > 0) the expansion layout is
+    ``concat(small [N, small_budget], big [nb, max_tiles_per_gaussian])``
+    and ``big_idx`` maps big rows to Gaussian indices (this frame's
+    footprint-heaviest Gaussians); single-class returns ``None``.
     """
     nty, ntx = cfg.grid(height, width)
     nt = nty * ntx
@@ -178,7 +182,9 @@ def expand_sorted_pairs(
         ) + jnp.where(
             proj.mask & ~is_big, jnp.maximum(ntiles_per_g - sb, 0), 0
         )
+        big_idx = big_idx.astype(jnp.int32)
     else:
+        big_idx = None
         tile_key_f, rank_f, gidx_f = expand(
             tminx, tminy, bw, ntiles_per_g, proj.mask, rank, gidx_all, budget
         )
@@ -211,7 +217,7 @@ def expand_sorted_pairs(
                 (tile_key_f.astype(jnp.int32), rank_f, gidx_f), num_keys=2
             )
             s_pos = None
-    return s_tile, s_gidx, s_pos, pair_drops, nt, ntx
+    return s_tile, s_gidx, s_pos, pair_drops, nt, ntx, big_idx
 
 
 def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
@@ -227,7 +233,7 @@ def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
     """
     nty, ntx = cfg.grid(height, width)
     nt = nty * ntx
-    s_tile, s_gidx, _s_pos, pair_drops, nt, ntx = expand_sorted_pairs(
+    s_tile, s_gidx, _s_pos, pair_drops, nt, ntx, _big_idx = expand_sorted_pairs(
         proj, height, width, cfg, opacity=opacity
     )
 

@@ -147,6 +147,40 @@ def test_rasterize_pairs_grad_parity():
         )
 
 
+def test_rasterize_pairs_grad_parity_two_class():
+    # Two-class binning (big_slots > 0) changes the expansion layout to
+    # concat(small [N, sb], big [nb, budget]); the pair backward must reduce
+    # both classes onto the right Gaussians (PairBins.big_idx).
+    scene = make_scene(seed=5, opac_hi=0.95)
+    proj, opac, colors, cam = screen_inputs(scene)
+    cfg2 = dataclasses.replace(CFG, big_slots=32, small_budget=2)
+    bg = jnp.array([0.2, 0.1, 0.6])
+    wimg = jax.random.normal(jax.random.PRNGKey(11), (H, W, 3))
+
+    binned = bin_gaussians(proj, H, W, cfg2, pallas_table=False, opacity=opac)
+    bins = bin_pairs(proj, H, W, cfg2, opacity=opac, with_pos=True)
+    assert bins.big_idx is not None and bins.small_budget == 2
+    np.testing.assert_array_equal(np.asarray(bins.counts), np.asarray(binned.counts))
+
+    def loss_ref(m2d, conic, col, op):
+        img, _ = rasterize_binned(
+            m2d, conic, col, op, binned, H, W, bg, cfg2, compositor=composite_tiles
+        )
+        return jnp.sum(img * wimg)
+
+    def loss_pairs(m2d, conic, col, op):
+        img, _ = rasterize_pairs(m2d, conic, col, op, bins, H, W, bg, cfg2)
+        return jnp.sum(img * wimg)
+
+    args = (proj.mean2d, proj.conic, colors, opac)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    g_pairs = jax.grad(loss_pairs, argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_pairs, g_ref, ["mean2d", "conic", "color", "opac"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4, err_msg=name
+        )
+
+
 def test_render_tiled_pairs_mode_matches_scan():
     scene = make_scene(seed=4)
     means, scales, quats, opacity, colors, cam = scene
