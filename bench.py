@@ -1,21 +1,33 @@
-"""Benchmark: avatar render FPS + fwd/bwd throughput on one chip.
+"""Benchmark: avatar render FPS + real-train-step throughput on one chip.
 
 Mirrors the reference FPS protocol (`fps_benchmark_demo.py:53-80`): a fixed
 view at 802×550, 500 renders × 3 rounds, FLAME mesh update included in every
 frame. The headline JSON line reports render FPS against the reference's 85
-FPS baseline (`INNOVATIONS_5.md:16`, BASELINE.md). Extra metrics (fwd+bwd
-iters/s, Mpix/s) go to stderr.
+FPS baseline (`INNOVATIONS_5.md:16`, BASELINE.md), plus:
+
+  * `fwd_bwd_iters_s` — bare render fwd+bwd (MSE loss), the kernel-path
+    throughput number;
+  * `train_step_iters_s` — the FULL production train step
+    (`training.trainer.make_train_step`: L1 + D-SSIM + binding
+    regularisers + densify-stat accumulation + per-group Adam + FLAME
+    optimiser), dispatched through `make_train_scan` exactly like
+    `scripts/train.py` does;
+  * `pct_sol_*` — measured vs the stage roofline (`utils/roofline.py`).
 
 Scene: ~92k Gaussians (9 per FLAME face) with *trained-avatar-like*
-statistics — splats hugging their triangles (small local jitter), scales a
-fraction of the triangle, high opacity — matching the regime the reference's
-85 FPS number was measured in (an optimized NeRSemble avatar).
+statistics — splats hugging their triangles, sub-triangle scales, high
+opacity — matching the regime the reference's 85 FPS number was measured in.
+
+The rasterizer runs the round-4 production configuration: the sorted-data
+pipeline (`ops/rasterize_sorted.py`) with DEFAULT tier budgets — no
+hand-tuned knobs; what `scripts/train.py` runs out of the box is what is
+measured here. Binning truncation is asserted zero (`budget_overflow`), so
+the headline is never measured on partially rendered frames.
 
 Timing protocol: renders are chained inside ONE jitted `lax.fori_loop`
 (each frame consumes a value from the previous), then a host transfer of the
-final scalar blocks on the whole chain. This is the TPU-tunnel analogue of
-CUDA-event timing: per-dispatch tunnel noise (~0.5 ms/call here) is excluded,
-data dependencies prevent any overlap-cheating.
+final scalar blocks on the whole chain — the TPU-tunnel analogue of
+CUDA-event timing (no dispatch noise, no overlap-cheating).
 """
 from __future__ import annotations
 
@@ -48,16 +60,9 @@ WIDTH, HEIGHT = 802, 550
 N_ITER = 500
 N_ROUNDS = 3
 BASELINE_FPS = 85.0  # reference: demo avatar, RTX-class GPU (INNOVATIONS_5.md:16)
-# Pair-layout config (the production path): two-class expansion sized so the
-# bench scene truncates NOTHING (probed: 15.6k splats need >4 tiles, max
-# footprint 49 tiles, 315k live pairs). pair_cap bounds the sorted prefix the
-# kernels/gathers touch; binning reports any overflow and the guard below
-# asserts zero.
-TILE = TileConfig(
-    tile_h=32, tile_w=32, capacity=512,
-    max_tiles_per_gaussian=64, big_slots=16384, small_budget=4,
-    pair_cap=458752,
-)
+# DEFAULT rasterizer configuration — tiers auto-sized from the Gaussian
+# count (sort_binning.default_tiers), exactly what scripts/train.py uses.
+TILE = TileConfig(tile_h=32, tile_w=32)
 
 
 def build_scene(per_face=9, seed=0):
@@ -65,9 +70,9 @@ def build_scene(per_face=9, seed=0):
     assets = synthetic_assets(n_shape=100, n_expr=50, seed=seed)
     model = FlameModel(assets, FlameConfig(n_shape=100, n_expr=50, add_teeth=True))
     n = model.num_faces * per_face
-    # Pad to a 8192-multiple, not the next power of two: the padded capacity
-    # multiplies every per-Gaussian cost (projection, the [N×B] pair sort),
-    # and 131072 slots for 91k live splats would pay 43% sort padding.
+    # Pad to a 8192-multiple: the padded capacity multiplies every
+    # per-Gaussian cost (projection, the footprint sort, the base-tier
+    # expansion).
     cap = -(-n // 8192) * 8192
     params, aux = init_bound(model.num_faces, capacity=cap, key=key, per_face=per_face)
     k1, k2, k3 = jax.random.split(key, 3)
@@ -95,71 +100,74 @@ def build_scene(per_face=9, seed=0):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
+    on_tpu = jax.default_backend() == "tpu"
+    # The headline number is a TPU number: off-TPU the kernels run in
+    # interpret mode and the result would be meaningless (ADVICE r3).
+    assert on_tpu, "bench.py headline must be measured on TPU"
     model, params, aux, fl, cam, n_gauss = build_scene()
     print(f"scene: {n_gauss} Gaussians, {model.num_faces} faces", file=sys.stderr)
-    use_pallas = jax.default_backend() == "tpu"
 
-    def make_run_render(tile_cfg):
-        def render_frame(carry, _i):
-            _img, s = carry
-            jaw = jnp.zeros((1, 3)) + s * 1e-9   # FLAME update every frame
-            verts = model.forward(fl._replace(jaw=jaw))
-            frames = face_frames(verts[0], model.faces)
-            wg = world_gaussians(params, aux, frames)
-            out = render_tiled(
-                wg.means, wg.scales, wg.quats, wg.opacity, cam, jnp.zeros(3),
-                sh=wg.sh, sh_degree=3, alive=wg.alive, cfg=tile_cfg,
-                use_pallas=use_pallas,
-            )
-            return (out.color, s + out.color[0, 0, 0] * 0)
+    def render_frame(carry, _i):
+        _img, s = carry
+        jaw = jnp.zeros((1, 3)) + s * 1e-9   # FLAME update every frame
+        verts = model.forward(fl._replace(jaw=jaw))
+        frames = face_frames(verts[0], model.faces)
+        wg = world_gaussians(params, aux, frames)
+        out = render_tiled(
+            wg.means, wg.scales, wg.quats, wg.opacity, cam, jnp.zeros(3),
+            sh=wg.sh, sh_degree=3, alive=wg.alive, cfg=TILE,
+        )
+        return (out.color, s + out.color[0, 0, 0] * 0)
 
-        @jax.jit
-        def run_render(carry):
-            return jax.lax.fori_loop(0, N_ITER, lambda i, c: render_frame(c, i), carry)
+    @jax.jit
+    def run_render(carry):
+        return jax.lax.fori_loop(0, N_ITER, lambda i, c: render_frame(c, i), carry)
 
-        return run_render
-
-    run_render = make_run_render(TILE)
-
-    # Guard: the pair binning must not truncate anything, or the headline FPS
-    # is measured on partial frames. The pair layout has no per-tile capacity;
-    # the only budgets are the per-Gaussian tile budget (two-class) and
-    # pair_cap, both observable here.
-    from gaussianavatars_tpu.ops.pairs import bin_pairs
+    # Guard: the tier budgets must not truncate anything, or the headline
+    # FPS is measured on partial frames. The sorted layout has no pair/tile
+    # capacity; the only budget is the per-Gaussian tier budget.
     from gaussianavatars_tpu.ops.projection import project_from_params
+    from gaussianavatars_tpu.ops.rasterize_sorted import rasterize_sorted
+    from gaussianavatars_tpu.ops.sh import eval_sh_color_kc
 
     verts0 = model.forward(fl)
     wg0 = world_gaussians(params, aux, face_frames(verts0[0], model.faces))
     proj0 = project_from_params(wg0.means, wg0.scales, wg0.quats, cam, alive=wg0.alive)
-    bins0 = bin_pairs(
-        proj0, HEIGHT, WIDTH, TILE,
-        opacity=jnp.where(proj0.mask, wg0.opacity, 0.0),
-        with_pos=True, pair_cap=TILE.pair_cap,
-    )
-    overflow = int(bins0.overflow) + int(bins0.budget_overflow)
-    print(f"pair binning: total={int(bins0.total)}/{TILE.pair_cap}, "
-          f"max tile count={int(bins0.counts.max())}, "
-          f"overflow={int(bins0.overflow)}, "
-          f"budget_overflow={int(bins0.budget_overflow)}", file=sys.stderr)
-    assert overflow == 0, (
-        f"pair binning overflow ({overflow} pairs dropped) — bench numbers "
-        "would be measured on partially rendered frames"
+    dirs0 = wg0.means - cam.camera_center
+    dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True).clip(1e-12)
+    colors0 = eval_sh_color_kc(wg0.sh, dirs0, 3)
+    opac0 = jnp.where(proj0.mask, wg0.opacity, 0.0)
+    spec = TILE.tier_spec(wg0.means.shape[0])
+    _img0, _a0, plan0 = jax.jit(lambda: rasterize_sorted(
+        proj0, colors0, opac0, HEIGHT, WIDTH, jnp.zeros(3),
+        TILE.tile_h, TILE.tile_w, spec,
+    ))()
+    m_expand = spec.expansion_size(wg0.means.shape[0])
+    print(f"tier spec: base={spec.base} tiers={spec.tiers} "
+          f"(expansion {m_expand} slots)", file=sys.stderr)
+    print(f"binning: total={int(plan0.total)} pairs, "
+          f"max tile count={int(plan0.counts.max())}, "
+          f"max footprint={int(plan0.max_footprint)}, "
+          f"budget_overflow={int(plan0.budget_overflow)}", file=sys.stderr)
+    assert int(plan0.budget_overflow) == 0, (
+        "tier-budget overflow — bench numbers would be measured on "
+        "partially rendered frames"
     )
 
     # Speed-of-light model at this scene's actual occupancy
-    # (utils/roofline.py; BASELINE.md:32 asks for the %-of-SoL framing).
-    from gaussianavatars_tpu.utils.roofline import pairs_roofline
+    # (utils/roofline.py; BASELINE.md asks for the %-of-SoL framing).
+    from gaussianavatars_tpu.utils.roofline import sorted_roofline
 
-    sol = pairs_roofline(
-        np.asarray(bins0.counts), TILE.tile_h * TILE.tile_w,
-        n_expand=bins0.n_expand, pair_cap=TILE.pair_cap,
+    sol = sorted_roofline(
+        np.asarray(plan0.counts), TILE.tile_h * TILE.tile_w,
+        n_gauss=wg0.means.shape[0], n_expand=m_expand,
         height=HEIGHT, width=WIDTH,
     )
     print(
-        "roofline (v5e, pair layout): "
+        "roofline (v5e, sorted-data layout): "
         f"fwd {sol['t_fwd_vpu_ms']:.2f}ms + bwd {sol['t_bwd_vpu_ms']:.2f}ms "
-        f"+ sort {sol['t_sort_ms']:.2f}ms + gather {sol['t_gather_ms']:.2f}ms "
-        f"+ unpermute {sol['t_unpermute_ms']:.2f}ms "
+        f"+ binning {sol['t_binning_ms']:.2f}ms "
+        f"+ grad-reduce {sol['t_grad_reduce_ms']:.2f}ms "
         f"(HBM floor {sol['t_hbm_floor_ms']:.2f}ms) → "
         f"SoL render {sol['sol_render_fps']:.0f} FPS, "
         f"SoL train {sol['sol_train_iters_s']:.0f} it/s "
@@ -181,7 +189,7 @@ def main():
         print(f"round {rd}: {fps_rounds[-1]:.1f} FPS", file=sys.stderr)
     fps = float(np.mean(fps_rounds))
 
-    # --- fwd+bwd training-style throughput ----------------------------------
+    # --- bare fwd+bwd throughput (MSE) --------------------------------------
     n_bwd = 100
 
     def measure_fwd_bwd(amp: bool) -> float:
@@ -195,8 +203,7 @@ def main():
                 wg = world_gaussians(p, aux, frames)
                 out = render_tiled(
                     wg.means, wg.scales, wg.quats, wg.opacity, cam, jnp.zeros(3),
-                    sh=wg.sh, sh_degree=3, alive=wg.alive, cfg=TILE,
-                    use_pallas=use_pallas, amp=amp,
+                    sh=wg.sh, sh_degree=3, alive=wg.alive, cfg=TILE, amp=amp,
                 )
                 return jnp.mean((out.color - target) ** 2)
 
@@ -218,10 +225,46 @@ def main():
     mpix = iters_per_s * WIDTH * HEIGHT / 1e6
     print(f"fwd+bwd: {iters_per_s:.2f} iters/s, {mpix:.1f} Mpix/s "
           f"({WIDTH}x{HEIGHT})", file=sys.stderr)
-    # The use_amp policy (bf16 MXU-contraction inputs in the backward).
     iters_amp = measure_fwd_bwd(amp=True)
     print(f"fwd+bwd (use_amp): {iters_amp:.2f} iters/s "
           f"({100 * (iters_amp / iters_per_s - 1):+.1f}%)", file=sys.stderr)
+
+    # --- FULL train step (the production dispatch) --------------------------
+    # make_train_scan: L1 + D-SSIM + binding regularisers + densify stats +
+    # Adam (+ FLAME optimiser), K steps per call — what scripts/train.py runs.
+    from gaussianavatars_tpu.config import Config, ModelConfig, OptimizationConfig, PipelineConfig
+    from gaussianavatars_tpu.data.cameras import jit_static_key
+    from gaussianavatars_tpu.training.trainer import (
+        init_train_state, make_train_scan, stack_cameras,
+    )
+
+    cfg = Config(
+        model=ModelConfig(capacity=params.capacity, n_shape=100, n_expr=50),
+        pipeline=PipelineConfig(tile_h=TILE.tile_h, tile_w=TILE.tile_w),
+        opt=OptimizationConfig(),
+    )
+    state = init_train_state(
+        params, aux, cfg, num_timesteps=2, n_expr=50, n_shape=100,
+        num_verts=model.num_verts,
+    )
+    scan_fn = make_train_scan(model, cfg, TILE)
+    k_steps = 50
+    cache = (jnp.clip(target, 0, 1)[None] * 255).astype(jnp.uint8)
+    views = jnp.zeros((k_steps,), jnp.int32)
+    cams = stack_cameras([jit_static_key(cam)] * k_steps)
+    ts = jnp.zeros((k_steps,), jnp.int32)
+    bg = jnp.zeros(3)
+
+    st, m = scan_fn(state, cache, views, cams, ts, bg, sh_degree=3)
+    float(m["loss"][-1])
+    state2 = jax.tree_util.tree_map(jnp.array, st)  # fresh buffers (donated)
+    t0 = time.perf_counter()
+    st, m = scan_fn(state2, cache, views, cams, ts, bg, sh_degree=3)
+    float(m["loss"][-1])
+    train_iters_s = k_steps / (time.perf_counter() - t0)
+    print(f"full train step (scan): {train_iters_s:.2f} iters/s "
+          f"({1e3 / train_iters_s:.2f} ms/iter)", file=sys.stderr)
+
     print(
         f"pct of SoL: render {100 * fps / sol['sol_render_fps']:.0f}%, "
         f"fwd+bwd {100 * iters_per_s / sol['sol_train_iters_s']:.0f}%",
@@ -237,6 +280,7 @@ def main():
         "pct_sol_fwd_bwd": round(100 * iters_per_s / sol["sol_train_iters_s"], 1),
         "fwd_bwd_iters_s": round(iters_per_s, 2),
         "fwd_bwd_amp_iters_s": round(iters_amp, 2),
+        "train_step_iters_s": round(train_iters_s, 2),
     }))
 
 

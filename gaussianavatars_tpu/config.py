@@ -53,13 +53,25 @@ class PipelineConfig:
     small_budget: int = 2
     use_pallas: bool = True         # pallas kernels on TPU, scan fallback elsewhere
     # Pair-layout rasterization (ops/pairs.py): capacity-free per-tile
-    # segments with early-exit chunked kernels — the production path.
+    # segments with early-exit chunked kernels.
     # False falls back to the padded-table pipeline.
     use_pairs: bool = True
     # Total sorted-pair capacity for the pair layout (0 = safe maximum =
     # the full expansion). Smaller trims the per-frame parameter gather;
     # overflow is observed and grown by the training loop.
     pair_cap: int = 0
+    # Sorted-data pipeline (ops/rasterize_sorted.py) — the round-4
+    # production path: screen params ride the binning sort (no gather),
+    # tiered budgets bound the expansion, backward reduces by contiguous
+    # slice adds. False falls back to the round-3 pair pipeline.
+    use_sorted: bool = True
+    # Tiered budgets for the sorted pipeline: every Gaussian gets
+    # `base_budget` expansion slots; each (count, budget) tier gives the
+    # `count` footprint-heaviest Gaussians slots up to `budget`. Empty =
+    # auto-sized from the padded Gaussian count (sort_binning.default_tiers);
+    # the training loop grows tiers on budget overflow.
+    base_budget: int = 2
+    tiers: Tuple[Tuple[int, int], ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,7 +176,9 @@ def from_json(text: str) -> Config:
                 continue
             t = fields[k].type
             if isinstance(v, list):
-                v = tuple(v)
+                v = tuple(
+                    tuple(x) if isinstance(x, list) else x for x in v
+                )
             kw[k] = v
         return cls(**kw)
 

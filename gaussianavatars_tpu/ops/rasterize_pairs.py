@@ -94,13 +94,20 @@ def _pair_gather_bwd(n_expand, small_budget, res, d_dataT):
         (pos,) + tuple(d_rows[:, j] for j in range(9)), num_keys=1
     )
     d_exp = jnp.stack(res[1:], axis=-1)[:m_exp]
-    if small_budget > 0:
+    # Layout dispatch keys on the PRESENCE of big-class rows, not on
+    # small_budget: a config with big_slots > 0 and small_budget == 0 is a
+    # two-class expansion whose small block is empty, and the one-class
+    # reduction would mis-shape (or silently mis-assign) its gradients.
+    nb = big_idx.shape[0]
+    if nb > 0:
         # Two-class expansion layout concat([N, sb], [nb, budget]): reduce
         # each class over its budget, then add the big rows onto their
         # Gaussians (unique indices — one small scatter-add of nb rows).
         sb = small_budget
-        nb = big_idx.shape[0]
-        d_small = d_exp[: n * sb].reshape(n, sb, 9).sum(axis=1)
+        d_small = (
+            d_exp[: n * sb].reshape(n, sb, 9).sum(axis=1)
+            if sb > 0 else jnp.zeros((n, 9), d_exp.dtype)
+        )
         d_big = d_exp[n * sb:].reshape(nb, -1, 9).sum(axis=1)
         d_packed = d_small.at[big_idx].add(d_big)
     else:

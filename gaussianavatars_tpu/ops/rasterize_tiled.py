@@ -65,9 +65,28 @@ class TileConfig:
     # Smaller values shrink the pair gather; `PairBins.overflow` reports
     # any truncation so the training loop's growth machinery can re-trace.
     pair_cap: int = 0
+    # Sorted-data pipeline (ops/rasterize_sorted.py, the round-4 production
+    # path): tiered budgets. `base_budget` slots for every Gaussian; each
+    # (count, budget) tier gives the `count` footprint-heaviest Gaussians
+    # slots up to `budget`. Empty = auto (sort_binning.default_tiers at the
+    # padded Gaussian count).
+    base_budget: int = 2
+    tiers: tuple = ()
 
     def grid(self, height: int, width: int) -> tuple[int, int]:
         return (-(-height // self.tile_h), -(-width // self.tile_w))
+
+    def tier_spec(self, n_gauss: int):
+        from .sort_binning import TierSpec, default_tiers
+
+        if self.tiers:
+            return TierSpec(base=self.base_budget, tiers=tuple(
+                (int(c), int(b)) for c, b in self.tiers
+            ))
+        spec = default_tiers(n_gauss)
+        if self.base_budget != 2:
+            spec = dataclasses.replace(spec, base=self.base_budget)
+        return spec
 
 
 class Binned(NamedTuple):
@@ -510,17 +529,20 @@ def render_tiled(
     use_pallas: bool = True,
     amp: bool = False,
     pairs: Optional[bool] = None,
+    sorted_data: Optional[bool] = None,
 ) -> RenderOutput:
     """Drop-in tiled equivalent of `render_dense` (same semantics).
 
-    By default (`pairs=None`) the production **pair-layout** pipeline runs
-    when `use_pallas` and no explicit compositor is given: capacity-free
-    per-tile segments walked by the chunked-DMA Pallas kernels
-    (`ops/pairs.py`, `ops/pallas/composite_pairs.py`; interpreted off-TPU).
-    `pairs=False` selects the padded-table path (`bin_gaussians` +
-    `ops/pallas/composite.py` or the lax.scan compositor with
-    `use_pallas=False`). `amp` selects bf16 inputs for the backward's MXU
-    contractions (the `use_amp` policy, config.py).
+    By default the production **sorted-data** pipeline runs when
+    `use_pallas` and no explicit compositor is given: the screen parameters
+    ride the binning sort as payload (no gather), tiered budgets bound the
+    expansion, and the chunked-DMA Pallas kernels composite
+    (`ops/sort_binning.py`, `ops/rasterize_sorted.py`; interpreted
+    off-TPU). `sorted_data=False, pairs=True` selects the round-3
+    gather-based pair layout; `pairs=False` the padded-table path
+    (`bin_gaussians` + `ops/pallas/composite.py` or the lax.scan compositor
+    with `use_pallas=False`). `amp` selects bf16 inputs for the backward's
+    MXU contractions (the `use_amp` policy, config.py).
     """
     proj = project_from_params(means3d, scales, quats, camera, scale_modifier, alive=alive)
     if colors is None:
@@ -531,6 +553,19 @@ def render_tiled(
         colors = eval_sh_color_kc(sh, dirs, sh_degree)
 
     opac_eff = jnp.where(proj.mask, opacity, 0.0)
+    if sorted_data is None:
+        sorted_data = use_pallas and compositor is None and pairs is None
+    if sorted_data:
+        from .rasterize_sorted import rasterize_sorted
+
+        n = means3d.shape[0]
+        img, alpha, _plan = rasterize_sorted(
+            proj, colors, opac_eff, camera.height, camera.width, bg_color,
+            cfg.tile_h, cfg.tile_w, cfg.tier_spec(n), amp=amp,
+        )
+        return RenderOutput(
+            color=img, alpha=alpha, radii=proj.radius, visibility=proj.radius > 0
+        )
     if pairs is None:
         pairs = use_pallas and compositor is None
     if pairs:

@@ -250,11 +250,11 @@ def make_sharded_train_step(
                 proj = jax.tree_util.tree_map(gather, proj)
                 colors = gather(colors)
                 opac = gather(opac)
-            # Shift into this shard's row band (a sub-viewport). Must happen
-            # AFTER the gather — y0 differs per device.
-            mean2d_local = proj.mean2d - jnp.concatenate(
-                [jnp.zeros((1,)), y0[None]]
-            )[None, :]
+            # NOTE: the per-device row-band shift (y0) happens inside
+            # image_loss, NOT here — keeping geometry's outputs free of the
+            # tile-varying y0 gives every screen leaf one uniform vma per
+            # layout mode, so the image cotangents can be pre-reduced to
+            # geometry's exact output type (jax ≥ 0.9 vjp typechecks it).
 
             # Regularisers ride the same VJP as the screen seam (one FLAME
             # forward+backward per step; mirrors trainer.make_train_step).
@@ -280,25 +280,48 @@ def make_sharded_train_step(
                     reg_total += (
                         model.laplacian_loss(verts, verts_cano) * o.lambda_laplacian
                     )
-            return ((mean2d_local, proj.conic, colors, opac), reg_total), (proj, verts)
+            return ((proj.mean2d, proj.conic, colors, opac), reg_total), (proj, verts)
 
         (screen, reg_total), vjp_geo, (proj, verts) = jax.vjp(
             geometry, state.params, state.flame, has_aux=True
         )
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        # Pallas helper kernels need vma annotations under shard_map;
-        # the sharded step uses the plain-gather table build.
-        binned = bin_gaussians(
-            proj_sg._replace(mean2d=jax.lax.stop_gradient(screen[0])),
-            rows, W, tile_cfg, pallas_table=False,
-            opacity=jax.lax.stop_gradient(screen[3]),
-        )
+        # Production path: the sorted-data pipeline with the SAME Pallas
+        # kernels as the single-chip step, run per-device on its row band
+        # (each device sorts/composites only its band's pairs). Fallback:
+        # the scan-compositor table path.
+        use_sorted = cfg.pipeline.use_sorted and cfg.pipeline.use_pallas
+        # Row-band shift into this device's sub-viewport (y0 varies per
+        # 'tile' device; applied here, not in geometry — see note there).
+        band_shift = jnp.concatenate([jnp.zeros((1,)), y0[None]])[None, :]
+        if use_sorted:
+            from ..ops.rasterize_sorted import rasterize_sorted
+
+            spec = tile_cfg.tier_spec(proj.mean2d.shape[0])
+        else:
+            binned = bin_gaussians(
+                proj_sg._replace(
+                    mean2d=jax.lax.stop_gradient(screen[0]) - band_shift
+                ),
+                rows, W, tile_cfg, pallas_table=False,
+                opacity=jax.lax.stop_gradient(screen[3]),
+            )
 
         def image_loss(screen, color_net):
             mean2d, conic, colors, opac = screen
-            img_local, _ = rasterize_binned(
-                mean2d, conic, colors, opac, binned, rows, W, bg, tile_cfg
-            )
+            mean2d = mean2d - band_shift
+            plan_aux = None
+            if use_sorted:
+                img_local, _alpha, plan = rasterize_sorted(
+                    proj_sg._replace(mean2d=mean2d, conic=conic),
+                    colors, opac, rows, W, bg,
+                    tile_cfg.tile_h, tile_cfg.tile_w, spec, amp=o.use_amp,
+                )
+                plan_aux = (plan.budget_overflow, plan.max_footprint)
+            else:
+                img_local, _ = rasterize_binned(
+                    mean2d, conic, colors, opac, binned, rows, W, bg, tile_cfg
+                )
             img = jax.lax.all_gather(img_local, "tile", axis=0).reshape(H_pad, W, 3)[:H]
             if color_net is not None:
                 img = color_net_apply(color_net, img)
@@ -334,12 +357,20 @@ def make_sharded_train_step(
             # for the vma type system; its transpose distributes cotangents
             # that the all_gather transpose re-sums exactly.
             loss = jax.lax.pmean(jax.lax.pmean(l1 + s + extra, "data"), "tile")
-            return loss, (img, l1, s)
+            return loss, (img, l1, s, plan_aux)
 
-        loss, vjp_img, (img, l1, s) = jax.vjp(
+        loss, vjp_img, (img, l1, s, plan_aux) = jax.vjp(
             image_loss, screen, state.color_net, has_aux=True
         )
-        g_screen, g_color = vjp_img(jnp.ones(()))
+        # Seed 1/(n_tile·n_data): under check_vma=False every pmean
+        # transposes to a SUM over its axis (psum), so the two loss pmeans
+        # contribute a factor n_tile·n_data on the way back; seeding the
+        # reciprocal restores exactly the single-chip cotangent scale (each
+        # device then holds `1/(nt·nd) × its band's partial × nt` from the
+        # all_gather transpose, and the mesh-wide psum of g_params below
+        # yields the mean-over-cameras gradient). Verified exact against
+        # make_train_step by tests/test_sharded.py.
+        g_screen, g_color = vjp_img(jnp.ones(()) / (n_tile * n_data))
 
         # --- densification statistics (global, replicated result) ----------
         # Per-camera pixel-space mean2d grad: undo the data-pmean factor.
@@ -371,9 +402,6 @@ def make_sharded_train_step(
         # factor) plus a reg cotangent of 1/(n_tile·n_data) — the mesh-wide
         # psum below then yields exactly mean-over-cameras reg grads (reg is
         # identical across 'tile', so psum over 'tile' multiplies by n_tile).
-        # (reg_total*0 + c keeps the cotangent's varying-axes type identical
-        # to reg_total's, which differs between the replicated and gauss_shard
-        # paths.)
         reg_cot = reg_total * 0.0 + jnp.float32(1.0 / (n_tile * n_data))
         g_params, g_flame = vjp_geo((g_screen, reg_cot))
         # Image-path grads differ per device: reduce over the whole mesh.
@@ -392,7 +420,8 @@ def make_sharded_train_step(
         new_flame, new_flame_adam = state.flame, state.flame_adam
         if use_flame:
             new_flame, new_flame_adam = adam_update(
-                state.flame, g_flame, state.flame_adam, flame_lr_tree(cfg)
+                state.flame, g_flame, state.flame_adam,
+                flame_lr_tree(cfg, state.flame),
             )
         new_color, new_color_adam = state.color_net, state.color_adam
         if state.color_net is not None:
@@ -421,16 +450,27 @@ def make_sharded_train_step(
             "ssim": s,
             "psnr": psnr(jax.lax.stop_gradient(img), gt_full),
             "num_visible": jnp.sum(vis).astype(jnp.float32),
-            "overflow": binned.overflow.astype(jnp.float32),
-            "budget_overflow": binned.budget_overflow.astype(jnp.float32),
         }
-        # Reduce every metric to a mesh-invariant scalar (pmean is exact for
-        # the already-identical ones, an average for per-camera ones, and an
-        # upper-bound-ish mean for overflow which we only use as a flag).
+        if use_sorted:
+            metrics["overflow"] = jnp.zeros((), jnp.float32)
+            metrics["budget_overflow"] = plan_aux[0].astype(jnp.float32)
+            metrics["max_footprint"] = plan_aux[1].astype(jnp.float32)
+        else:
+            metrics["overflow"] = binned.overflow.astype(jnp.float32)
+            metrics["budget_overflow"] = binned.budget_overflow.astype(jnp.float32)
+        # Reduce every metric to a mesh-invariant scalar. pmean is exact for
+        # the already-identical ones and an average for per-camera ones;
+        # overflow/budget_overflow are flags (any nonzero triggers growth);
+        # max_footprint must be the mesh MAX (it sizes the grown budgets).
+        mfp = metrics.pop("max_footprint", None)
         metrics = {
             k: jax.lax.pmean(jax.lax.pmean(v, "data"), "tile")
             for k, v in metrics.items()
         }
+        if mfp is not None:
+            metrics["max_footprint"] = jax.lax.pmax(
+                jax.lax.pmax(mfp, "data"), "tile"
+            )
         # Advance the PRNG key exactly like the single-chip step (replicated
         # state, deterministic split → identical on every device); without
         # this the two drivers' states diverge in the key field and any
@@ -454,11 +494,20 @@ def make_sharded_train_step(
 
     @functools.lru_cache(maxsize=8)
     def _sharded(sh_degree: int):
+        # check_vma=False: with checking on, jax ≥ 0.9's HLO interpreter for
+        # `pallas_call` (the off-TPU kernel path the multichip dryrun runs)
+        # rejects kernel-internal mixed-vma ops ("Primitive dynamic_slice
+        # requires varying manual axes to match ... as a temporary
+        # workaround pass check_vma=False") — the kernel jaxpr can't be
+        # annotated from outside. Collective placement in device_fn is
+        # hand-verified instead: tests/test_sharded.py proves exact
+        # equivalence against the single-chip step on every mesh layout.
         return jax.shard_map(
             functools.partial(device_fn, sh_degree),
             mesh=mesh,
             in_specs=(state_spec, cam_spec, gt_spec, P()),
             out_specs=(state_spec, P()),
+            check_vma=False,
         )
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))

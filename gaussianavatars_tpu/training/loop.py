@@ -105,6 +105,7 @@ def tile_config(cfg: Config) -> TileConfig:
         max_tiles_per_gaussian=p.max_tiles_per_gaussian,
         big_slots=p.big_slots, small_budget=p.small_budget,
         pair_cap=p.pair_cap,
+        base_budget=p.base_budget, tiers=tuple(p.tiers),
     )
 
 
@@ -549,7 +550,8 @@ def chunk_boundary(
 
 
 def _grow_tile_budgets(
-    tcfg: TileConfig, overflow: int, budget_overflow: int, verbose: bool = True
+    tcfg: TileConfig, overflow: int, budget_overflow: int, verbose: bool = True,
+    max_footprint: int = 0, n_gauss: int = 0, sorted_mode: bool = False,
 ) -> Optional[TileConfig]:
     """Double whichever static tile budget overflowed (the CUDA reference's
     per-tile lists are dynamic; our static budgets must grow to match its
@@ -557,6 +559,21 @@ def _grow_tile_budgets(
     Shared by `train` and `train_sharded` so recovery cannot drift."""
     if overflow <= 0 and budget_overflow <= 0:
         return None
+    if sorted_mode and budget_overflow > 0:
+        # Sorted-data path: the only loss mode is the tier budget; grow the
+        # concrete tier spec toward the observed footprint.
+        from ..ops.sort_binning import grow_tiers
+
+        spec = tcfg.tier_spec(n_gauss)
+        new = grow_tiers(spec, max_footprint, n_gauss)
+        tcfg = dataclasses.replace(tcfg, base_budget=new.base, tiers=new.tiers)
+        if verbose:
+            print(
+                f"[warn] tier-budget overflow ({budget_overflow} bbox tiles "
+                f"truncated, max footprint {max_footprint}) — tiers grown to "
+                f"{new.tiers} (recompiling steps)"
+            )
+        return tcfg
     if overflow > 0:
         if tcfg.pair_cap > 0:
             # Pair layout: `overflow` counts sorted pairs truncated by the
@@ -696,7 +713,7 @@ def train(
         )
 
     gui_connected = False
-    ovf_dev = bovf_dev = None
+    ovf_dev = bovf_dev = mfp_dev = None
     harness.live_tile_config = tcfg
     try:
         it = harness.start_iteration + 1
@@ -743,6 +760,8 @@ def train(
                 )
                 overflow_seen = int(jnp.max(m_all["overflow"]))
                 budget_overflow_seen = int(jnp.max(m_all["budget_overflow"]))
+                mfp_seen = int(jnp.max(m_all.get(
+                    "max_footprint", jnp.zeros((1,), jnp.int32))))
                 # Drain any single-step accumulators (GUI-connected steps at
                 # non-log iterations) so their overflow is acted on here and
                 # never re-read after a budget growth.
@@ -750,7 +769,9 @@ def train(
                     overflow_seen = max(overflow_seen, int(ovf_dev))
                 if bovf_dev is not None:
                     budget_overflow_seen = max(budget_overflow_seen, int(bovf_dev))
-                ovf_dev = bovf_dev = None
+                if mfp_dev is not None:
+                    mfp_seen = max(mfp_seen, int(mfp_dev))
+                ovf_dev = bovf_dev = mfp_dev = None
                 metrics = jax.tree_util.tree_map(lambda x: x[-1], m_all)
                 it = end
             else:
@@ -777,12 +798,16 @@ def train(
                            else jnp.maximum(ovf_dev, metrics["overflow"]))
                 bovf_dev = (metrics["budget_overflow"] if bovf_dev is None
                             else jnp.maximum(bovf_dev, metrics["budget_overflow"]))
+                _m = metrics.get("max_footprint")
+                if _m is not None:
+                    mfp_dev = _m if mfp_dev is None else jnp.maximum(mfp_dev, _m)
                 if it % log_every == 0 or it == iterations:
                     overflow_seen = int(ovf_dev)
                     budget_overflow_seen = int(bovf_dev)
-                    ovf_dev = bovf_dev = None
+                    mfp_seen = int(mfp_dev) if mfp_dev is not None else 0
+                    ovf_dev = bovf_dev = mfp_dev = None
                 else:
-                    overflow_seen = budget_overflow_seen = 0
+                    overflow_seen = budget_overflow_seen = mfp_seen = 0
 
             if gui_service is not None:
                 gui_connected = bool(gui_service(it))
@@ -792,7 +817,12 @@ def train(
                 assert_finite(metrics, f"metrics@it{it}")
                 assert_finite(harness.state.params, f"params@it{it}")
 
-            grown = _grow_tile_budgets(tcfg, overflow_seen, budget_overflow_seen)
+            grown = _grow_tile_budgets(
+                tcfg, overflow_seen, budget_overflow_seen,
+                max_footprint=mfp_seen,
+                n_gauss=harness.state.params.means.shape[0],
+                sorted_mode=cfg.pipeline.use_sorted and cfg.pipeline.use_pallas,
+            )
             if grown is not None:
                 tcfg = grown
                 harness.live_tile_config = tcfg
@@ -927,7 +957,7 @@ def train_sharded(
     local_rows = local_data_rows(mesh) if multiproc else list(range(n_data))
     render_fn = make_render_fn(model, cfg, tcfg)
     harness.live_tile_config = tcfg
-    ovf_dev = bovf_dev = None
+    ovf_dev = bovf_dev = mfp_dev = None
     writer = _maybe_tensorboard(cfg.model.model_path) if coord else None
     logs: List[dict] = []
     ema = None
@@ -980,6 +1010,9 @@ def train_sharded(
             _b = metrics.get("budget_overflow")
             if _b is not None:
                 bovf_dev = _b if bovf_dev is None else jnp.maximum(bovf_dev, _b)
+            _m = metrics.get("max_footprint")
+            if _m is not None:
+                mfp_dev = _m if mfp_dev is None else jnp.maximum(mfp_dev, _m)
 
             if gui_service is not None:
                 gui_service(it)
@@ -1012,8 +1045,11 @@ def train_sharded(
                     int(ovf_dev) if ovf_dev is not None else 0,
                     int(bovf_dev) if bovf_dev is not None else 0,
                     verbose=coord,
+                    max_footprint=int(mfp_dev) if mfp_dev is not None else 0,
+                    n_gauss=harness.state.params.means.shape[0],
+                    sorted_mode=cfg.pipeline.use_sorted and cfg.pipeline.use_pallas,
                 )
-                ovf_dev = bovf_dev = None
+                ovf_dev = bovf_dev = mfp_dev = None
                 if grown is not None:
                     tcfg = grown
                     harness.live_tile_config = tcfg

@@ -64,6 +64,12 @@ class FlameTrainable:
     jaw: jnp.ndarray          # [T, 3]
     eyes: jnp.ndarray         # [T, 6]
     translation: jnp.ndarray  # [T, 3]
+    # Per-timestep vertex offsets ([T, V, 3]); carried for the
+    # lambda_dynamic_offset / lambda_dynamic_offset_std regularisers.
+    # Matches the reference, where the buffer exists but is NOT an optimiser
+    # param group (`scene/flame_gaussian_model.py:213-216` is commented out)
+    # — `flame_lr_tree` gives it lr 0, so it only changes if loaded from data.
+    dynamic_offset: Optional[jnp.ndarray] = None
 
 
 @jax.tree_util.register_dataclass
@@ -105,6 +111,15 @@ def init_train_state(
     if num_timesteps > 0:
         t = num_timesteps
         fi = flame_init or {}
+        # Allocate the [T, V, 3] dynamic-offset buffer only when it can
+        # matter (provided by the dataset, or a consuming lambda is active) —
+        # it is 3·T·V floats of dead weight otherwise.
+        dyn = fi.get("dynamic_offset")
+        if dyn is None and num_verts > 0 and (
+            cfg.opt.lambda_dynamic_offset != 0
+            or cfg.opt.lambda_dynamic_offset_std != 0
+        ):
+            dyn = jnp.zeros((t, num_verts, 3))
         flame = FlameTrainable(
             expr=jnp.asarray(fi.get("expr", jnp.zeros((t, n_expr)))),
             rotation=jnp.asarray(fi.get("rotation", jnp.zeros((t, 3)))),
@@ -112,6 +127,7 @@ def init_train_state(
             jaw=jnp.asarray(fi.get("jaw", jnp.zeros((t, 3)))),
             eyes=jnp.asarray(fi.get("eyes", jnp.zeros((t, 6)))),
             translation=jnp.asarray(fi.get("translation", jnp.zeros((t, 3)))),
+            dynamic_offset=None if dyn is None else jnp.asarray(dyn),
         )
         flame_static = FlameStatic(
             shape=jnp.asarray(fi.get("shape", jnp.zeros((n_shape,)))),
@@ -171,7 +187,7 @@ def gaussian_lr_tree(params: GaussianParams, step, cfg: Config, spatial_lr_scale
     )
 
 
-def flame_lr_tree(cfg: Config) -> FlameTrainable:
+def flame_lr_tree(cfg: Config, flame: Optional[FlameTrainable] = None) -> FlameTrainable:
     o = cfg.opt
     return FlameTrainable(
         expr=o.flame_expr_lr,
@@ -180,6 +196,12 @@ def flame_lr_tree(cfg: Config) -> FlameTrainable:
         jaw=o.flame_pose_lr,
         eyes=o.flame_pose_lr,
         translation=o.flame_trans_lr,
+        # Not optimised in the reference (param group commented out,
+        # `scene/flame_gaussian_model.py:213-216`): lr 0 — gradients flow
+        # (the reg terms are differentiable) but the buffer never moves.
+        dynamic_offset=(
+            None if flame is None or flame.dynamic_offset is None else 0.0
+        ),
     )
 
 
@@ -243,6 +265,10 @@ def make_train_step(
                     eyes=flame.eyes[timestep][None],
                     translation=flame.translation[timestep][None],
                     static_offset=state.flame_static.static_offset,
+                    dynamic_offset=(
+                        None if flame.dynamic_offset is None
+                        else flame.dynamic_offset[timestep][None]
+                    ),
                 )
                 verts, verts_cano = model.forward(fp, return_verts_cano=True)
                 frames = face_frames(verts[0], faces)
@@ -264,20 +290,48 @@ def make_train_step(
             visible = jax.lax.stop_gradient(proj.radius > 0)
             nvis = jnp.maximum(jnp.sum(visible), 1)
             if use_flame:
-                xyz_excess = jax.nn.relu(
-                    safe_norm(params.means, axis=1) - o.threshold_xyz
-                )
+                # face_scaling per Gaussian, for the metric-unit variants
+                # (reference `train.py:213-222`).
+                fs = frames.scaling[state.aux.binding]        # [N, 1]
+                if o.metric_xyz:
+                    # metric units: relu elementwise on (xyz·s − τ), THEN the
+                    # row norm — the reference's exact structure.
+                    xyz_excess = safe_norm(
+                        jax.nn.relu(params.means * fs - o.threshold_xyz), axis=1
+                    )
+                else:
+                    xyz_excess = jax.nn.relu(
+                        safe_norm(params.means, axis=1) - o.threshold_xyz
+                    )
                 reg_terms["xyz"] = (
                     jnp.sum(jnp.where(visible, xyz_excess, 0.0)) / nvis * o.lambda_xyz
                 )
                 if o.lambda_scale != 0:
-                    sc_excess = jax.nn.relu(
-                        jnp.exp(params.log_scales) - o.threshold_scale
-                    )
+                    scale_val = jnp.exp(params.log_scales)
+                    if o.metric_scale:
+                        scale_val = scale_val * fs            # get_scaling
+                    sc_excess = jax.nn.relu(scale_val - o.threshold_scale)
                     sc_norm = safe_norm(sc_excess, axis=1)
                     reg_terms["scale"] = (
                         jnp.sum(jnp.where(visible, sc_norm, 0.0)) / nvis
                         * o.lambda_scale
+                    )
+                if flame.dynamic_offset is not None and o.lambda_dynamic_offset != 0:
+                    # `compute_dynamic_offset_loss`
+                    # (`scene/flame_gaussian_model.py:155-158`).
+                    reg_terms["dy_off"] = (
+                        safe_norm(flame.dynamic_offset[timestep], axis=-1).mean()
+                        * o.lambda_dynamic_offset
+                    )
+                if (
+                    flame.dynamic_offset is not None
+                    and o.lambda_dynamic_offset_std != 0
+                ):
+                    # std over the time axis (Bessel-corrected, like
+                    # torch.std), mean over verts/xyz (`train.py:228-229`).
+                    reg_terms["dynamic_offset_std"] = (
+                        jnp.std(flame.dynamic_offset, axis=0, ddof=1).mean()
+                        * o.lambda_dynamic_offset_std
                     )
                 if o.lambda_laplacian != 0:
                     reg_terms["lap"] = (
@@ -293,11 +347,18 @@ def make_train_step(
         )
         proj, verts, reg_terms = geo_aux
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        use_pairs = (
-            cfg.pipeline.use_pairs and cfg.pipeline.use_pallas
+        use_sorted = (
+            cfg.pipeline.use_sorted and cfg.pipeline.use_pallas
             and compositor is None
         )
-        if use_pairs:
+        use_pairs = (
+            not use_sorted
+            and cfg.pipeline.use_pairs and cfg.pipeline.use_pallas
+            and compositor is None
+        )
+        if use_sorted:
+            pass  # binning happens inside image_loss (one custom-VJP seam)
+        elif use_pairs:
             from ..ops.pairs import bin_pairs
             from ..ops.rasterize_pairs import rasterize_pairs
 
@@ -332,7 +393,23 @@ def make_train_step(
         # ------------------------------------------------ stage 2: image loss
         def image_loss(screen, color_net):
             mean2d, conic, colors, opac = screen
-            if use_pairs:
+            plan_metrics = None
+            if use_sorted:
+                from ..ops.rasterize_sorted import rasterize_sorted
+
+                n = mean2d.shape[0]
+                img, alpha, plan = rasterize_sorted(
+                    proj_sg._replace(mean2d=mean2d, conic=conic),
+                    colors, opac, H, W, bg_color,
+                    tile_cfg.tile_h, tile_cfg.tile_w, tile_cfg.tier_spec(n),
+                    amp=o.use_amp,
+                )
+                plan_metrics = (
+                    jnp.zeros((), jnp.int32),       # no pair/tile capacity
+                    plan.budget_overflow,
+                    plan.max_footprint,
+                )
+            elif use_pairs:
                 img, alpha = rasterize_pairs(
                     mean2d, conic, colors, opac, pair_bins, H, W, bg_color,
                     tile_cfg, amp=o.use_amp,
@@ -372,11 +449,15 @@ def make_train_step(
                     * o.lambda_contrastive
                 )
             total = sum(losses.values())
-            return total, (losses, img)
+            return total, (losses, img, plan_metrics)
 
-        img_total, vjp_img, (loss_terms, img) = jax.vjp(
+        img_total, vjp_img, (loss_terms, img, plan_metrics) = jax.vjp(
             image_loss, screen, state.color_net, has_aux=True
         )
+        if use_sorted:
+            overflow, budget_overflow, max_footprint = plan_metrics
+        else:
+            max_footprint = jnp.zeros((), jnp.int32)
         g_screen, g_color = vjp_img(jnp.ones(()))
         # Screen-space mean gradients → densification statistics
         # (replaces the reference's viewspace_points.grad tap).
@@ -398,7 +479,8 @@ def make_train_step(
         new_flame, new_flame_adam = state.flame, state.flame_adam
         if use_flame:
             new_flame, new_flame_adam = adam_update(
-                state.flame, g_flame, state.flame_adam, flame_lr_tree(cfg)
+                state.flame, g_flame, state.flame_adam,
+                flame_lr_tree(cfg, state.flame),
             )
         new_color, new_color_adam = state.color_net, state.color_adam
         if state.color_net is not None:
@@ -419,6 +501,7 @@ def make_train_step(
             "num_visible": jnp.sum(proj_sg.radius > 0),
             "overflow": overflow,
             "budget_overflow": budget_overflow,
+            "max_footprint": max_footprint,
             **{k: v for k, v in {**loss_terms, **reg_terms}.items()},
         }
         new_state = TrainState(

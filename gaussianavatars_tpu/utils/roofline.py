@@ -49,8 +49,16 @@ class ChipSpec:
     mxu_flops: float = 1.97e14       # bf16
     hbm_bw: float = 8.19e11          # bytes/s
     sort_s_per_pair: float = 2.2e-9  # measured lax.sort rate on v5e
-    gather_s_per_row: float = 17e-9  # measured XLA row-gather rate
+    gather_s_per_row: float = 17e-9  # measured XLA row-gather rate (in-graph)
     wide_sort_s_per_pair: float = 6.4e-9  # measured (key + 9 payload) sort
+    # Round-4 re-measured rates (fori_loop-chained protocol, no dispatch
+    # overlap — the r3 rates above conflated dispatch pipelining):
+    # one wide `lax.sort` (key + ≤11 payloads; payload width is ~free).
+    wsort_s_per_slot: float = 3.3e-9
+    # two-key (tile, depth-bits) wide sort.
+    wsort2_s_per_slot: float = 3.7e-9
+    # 10-column stack into the param-major kernel table.
+    stack_s_per_slot: float = 1.7e-9
 
 
 FWD_FLOPS_PER_PAIR = 32.0
@@ -119,6 +127,65 @@ def compositor_roofline(
     }
 
 
+def sorted_roofline(
+    counts: np.ndarray,
+    tile_pixels: int,
+    n_gauss: int,
+    n_expand: int,
+    height: int,
+    width: int,
+    chip: ChipSpec = ChipSpec(),
+) -> Dict[str, float]:
+    """Speed-of-light model for the SORTED-DATA pipeline
+    (`ops/sort_binning.py` + `ops/rasterize_sorted.py` +
+    `ops/pallas/composite_pairs.py` v2 kernels) — the round-4 production
+    path. Stage model (audited against the code; primitive rates measured
+    on v5e with the chained-loop protocol):
+
+      * binning — footprint sort over N (wide, 16 payloads) + tiered
+        expansion/broadcast (HBM-bandwidth, ~10 columns) + the two-key
+        (tile, depth-bits) pair sort over the expansion M with 10 payloads
+        + the [16, M] stack. No gather anywhere.
+      * fwd/bwd compositing — per (pair, pixel) VPU work; pairs =
+        Σ counts · tile_pixels, an UPPER bound (the kernels early-exit on
+        per-pixel saturation, so achieved time can beat this "SoL").
+      * gradient reduction — un-permute sort over M (pos + 9 payloads) +
+        contiguous slice adds (bandwidth) + un-permute sort over N.
+    """
+    counts = np.asarray(counts)
+    pairs = float(counts.sum()) * tile_pixels
+
+    t_fwd_vpu = pairs * FWD_FLOPS_PER_PAIR / chip.vpu_flops
+    t_bwd_vpu = pairs * BWD_FLOPS_PER_PAIR / chip.vpu_flops
+    t_fp_sort = float(n_gauss) * chip.wsort_s_per_slot
+    t_expand = float(n_expand) * 10 * 4 * 2 / chip.hbm_bw
+    t_pair_sort = float(n_expand) * chip.wsort2_s_per_slot
+    t_stack = float(n_expand) * chip.stack_s_per_slot
+    t_binning = t_fp_sort + t_expand + t_pair_sort + t_stack
+    t_unperm_m = float(n_expand) * chip.wsort_s_per_slot
+    t_reduce = float(n_expand) * 9 * 4 * 2 / chip.hbm_bw
+    t_unperm_n = float(n_gauss) * chip.wsort_s_per_slot
+    t_grad_reduce = t_unperm_m + t_reduce + t_unperm_n
+    # HBM floor: data table in (fwd + bwd re-read) + grads out + images.
+    bytes_moved = float(n_expand) * 16 * 4 * 3 + height * width * 3 * 4 * 4
+    t_hbm = bytes_moved / chip.hbm_bw
+
+    t_render_sol = t_fwd_vpu + t_binning
+    t_train_sol = t_fwd_vpu + t_bwd_vpu + t_binning + t_grad_reduce
+    mpix = height * width / 1e6
+    return {
+        "pairs": pairs,
+        "t_fwd_vpu_ms": t_fwd_vpu * 1e3,
+        "t_bwd_vpu_ms": t_bwd_vpu * 1e3,
+        "t_binning_ms": t_binning * 1e3,
+        "t_grad_reduce_ms": t_grad_reduce * 1e3,
+        "t_hbm_floor_ms": t_hbm * 1e3,
+        "sol_render_fps": 1.0 / t_render_sol,
+        "sol_train_mpix_s": mpix / t_train_sol,
+        "sol_train_iters_s": 1.0 / t_train_sol,
+    }
+
+
 def pairs_roofline(
     counts: np.ndarray,
     tile_pixels: int,
@@ -141,6 +208,11 @@ def pairs_roofline(
         per-pixel saturation, so achieved time can beat this "SoL");
       * backward un-permute — the (pos + 9 payload) wide sort over
         max(n_expand, pair_cap) slots (`pair_gather`'s VJP).
+
+    Note (ADVICE r3 + round-4 re-measurement): the production with_pos
+    binning sort carries (key, gidx, pos); the chained-loop protocol shows
+    payload width is nearly free on the XLA TPU sort, so pricing it at
+    `sort_s_per_pair` (key + 1 payload) is accurate, not understated.
     """
     counts = np.asarray(counts)
     pairs = float(counts.sum()) * tile_pixels

@@ -1,0 +1,140 @@
+"""Parity tests for the metric-unit loss knobs and dynamic-offset terms.
+
+Reference semantics (`/root/reference/train.py:213-229`):
+  * `metric_xyz`:   relu(_xyz * face_scaling[binding] - thr).norm(dim=1),
+                    meaned over visible Gaussians (elementwise relu BEFORE
+                    the row norm — a different function from the default
+                    relu(|xyz| - thr) branch).
+  * `metric_scale`: relu(get_scaling - thr) with get_scaling already in
+                    metric units (local scale * face scaling).
+  * `lambda_dynamic_offset_std`: flame_param['dynamic_offset'].std(dim=0)
+                    .mean() (Bessel-corrected std over the time axis).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianavatars_tpu.config import Config, OptimizationConfig
+from gaussianavatars_tpu.data.cameras import look_at_camera
+from gaussianavatars_tpu.models.binding import face_frames
+from gaussianavatars_tpu.models.flame import FlameConfig, FlameModel, synthetic_assets
+from gaussianavatars_tpu.models.flame.flame_model import zero_params
+from gaussianavatars_tpu.models.gaussians import init_bound, world_gaussians
+from gaussianavatars_tpu.ops.projection import project_from_params
+from gaussianavatars_tpu.ops.rasterize_tiled import TileConfig
+from gaussianavatars_tpu.training.trainer import init_train_state, make_train_step
+
+TILE = TileConfig(tile_h=16, tile_w=16, capacity=256, max_tiles_per_gaussian=16)
+
+
+def _setup(opt: OptimizationConfig):
+    assets = synthetic_assets(n_shape=8, n_expr=4, seed=0)
+    model = FlameModel(assets, FlameConfig(n_shape=8, n_expr=4, add_teeth=False))
+    key = jax.random.PRNGKey(3)
+    params, aux = init_bound(model.num_faces, capacity=1 << 14, key=key)
+    # Non-trivial local means/scales so the relu branches actually fire.
+    k1, k2 = jax.random.split(key)
+    params = dataclasses.replace(
+        params,
+        means=jax.random.normal(k1, params.means.shape) * 2.0,
+        log_scales=jax.random.normal(k2, params.log_scales.shape) * 0.5,
+    )
+    center = np.asarray(assets.v_template.mean(0))
+    extent = float(np.abs(assets.v_template - center).max())
+    cam = look_at_camera(
+        eye=center + np.array([0, 0, -4 * extent]), target=center, fovy=0.5,
+        width=48, height=48,
+    )
+    gt = jnp.tile(jnp.array([0.2, 0.2, 0.2]), (cam.height, cam.width, 1))
+    cfg = Config(opt=opt)
+    state = init_train_state(
+        params, aux, cfg, num_timesteps=2, n_expr=4, n_shape=8,
+        num_verts=model.num_verts,
+    )
+    return model, cfg, state, cam, gt
+
+
+def _expected_regs(model, state, cam, opt):
+    """The reference formulas, computed independently of the trainer."""
+    verts = model.forward(zero_params(8, 4))
+    frames = face_frames(verts[0], model.faces)
+    params, aux = state.params, state.aux
+    wg = world_gaussians(params, aux, frames)
+    proj = project_from_params(wg.means, wg.scales, wg.quats, cam, alive=wg.alive)
+    visible = np.asarray(proj.radius > 0)
+    nvis = max(visible.sum(), 1)
+    fs = np.asarray(frames.scaling)[np.asarray(aux.binding)]      # [N, 1]
+    means = np.asarray(params.means)
+    if opt.metric_xyz:
+        xyz_excess = np.linalg.norm(
+            np.maximum(means * fs - opt.threshold_xyz, 0.0), axis=1
+        )
+    else:
+        xyz_excess = np.maximum(
+            np.linalg.norm(means, axis=1) - opt.threshold_xyz, 0.0
+        )
+    exp_xyz = float((xyz_excess * visible).sum() / nvis * opt.lambda_xyz)
+    sc = np.exp(np.asarray(params.log_scales))
+    if opt.metric_scale:
+        sc = sc * fs
+    sc_excess = np.maximum(sc - opt.threshold_scale, 0.0)
+    exp_scale = float(
+        (np.linalg.norm(sc_excess, axis=1) * visible).sum() / nvis
+        * opt.lambda_scale
+    )
+    return exp_xyz, exp_scale
+
+
+def _run_and_compare(opt: OptimizationConfig):
+    model, cfg, state, cam, gt = _setup(opt)
+    exp_xyz, exp_scale = _expected_regs(model, state, cam, opt)
+    step = make_train_step(model, cfg, TILE)
+    out = step(state, gt, cam, jnp.int32(0), jnp.zeros(3), sh_degree=0)
+    np.testing.assert_allclose(float(out.metrics["xyz"]), exp_xyz, rtol=2e-4)
+    np.testing.assert_allclose(float(out.metrics["scale"]), exp_scale, rtol=2e-4)
+    return float(out.metrics["xyz"]), float(out.metrics["scale"])
+
+
+def test_metric_xyz_scale_parity():
+    # Thresholds small enough that both branches produce nonzero losses
+    # (face scalings are ~mm, so metric-unit excesses are tiny).
+    base = OptimizationConfig(threshold_xyz=1e-3, threshold_scale=5e-4)
+    local_xyz, local_scale = _run_and_compare(base)
+    metric = dataclasses.replace(base, metric_xyz=True, metric_scale=True)
+    m_xyz, m_scale = _run_and_compare(metric)
+    # Metric units genuinely change the values (the knob is consumed).
+    assert local_xyz > 0 and m_xyz > 0
+    assert abs(m_xyz - local_xyz) > 1e-6 * max(local_xyz, 1e-9)
+    assert abs(m_scale - local_scale) > 1e-6 * max(local_scale, 1e-9)
+
+
+def test_dynamic_offset_std_term():
+    opt = OptimizationConfig(lambda_dynamic_offset_std=0.5)
+    model, cfg, state, cam, gt = _setup(opt)
+    assert state.flame.dynamic_offset is not None
+    # Give the buffer non-trivial per-timestep values.
+    dyn = jax.random.normal(
+        jax.random.PRNGKey(7), state.flame.dynamic_offset.shape
+    ) * 0.01
+    state = dataclasses.replace(
+        state, flame=dataclasses.replace(state.flame, dynamic_offset=dyn)
+    )
+    dyn_np = np.asarray(dyn)  # snapshot: the step donates its state buffers
+    expected = float(dyn_np.std(axis=0, ddof=1).mean() * 0.5)
+    step = make_train_step(model, cfg, TILE)
+    out = step(state, gt, cam, jnp.int32(0), jnp.zeros(3), sh_degree=0)
+    np.testing.assert_allclose(
+        float(out.metrics["dynamic_offset_std"]), expected, rtol=1e-4
+    )
+    # Not an optimiser param group (reference comments it out): lr 0 →
+    # the buffer must not move.
+    np.testing.assert_array_equal(
+        np.asarray(out.state.flame.dynamic_offset), dyn_np
+    )
+
+
+def test_dynamic_offset_buffer_absent_by_default():
+    model, cfg, state, cam, gt = _setup(OptimizationConfig())
+    assert state.flame.dynamic_offset is None
