@@ -60,9 +60,6 @@ WIDTH, HEIGHT = 802, 550
 N_ITER = 500
 N_ROUNDS = 3
 BASELINE_FPS = 85.0  # reference: demo avatar, RTX-class GPU (INNOVATIONS_5.md:16)
-# DEFAULT rasterizer configuration — tiers auto-sized from the Gaussian
-# count (sort_binning.default_tiers), exactly what scripts/train.py uses.
-TILE = TileConfig(tile_h=32, tile_w=32)
 
 
 def build_scene(per_face=9, seed=0):
@@ -107,6 +104,28 @@ def main():
     model, params, aux, fl, cam, n_gauss = build_scene()
     print(f"scene: {n_gauss} Gaussians, {model.num_faces} faces", file=sys.stderr)
 
+    # --- init-time tier auto-probe (the DEFAULT path: scripts/train.py and
+    # training/loop.py run the same probe before compiling their steps, so
+    # what is measured here is what a default training run gets) ----------
+    from gaussianavatars_tpu.ops.projection import project_from_params
+    from gaussianavatars_tpu.ops.rasterize_sorted import rasterize_sorted
+    from gaussianavatars_tpu.ops.sh import eval_sh_color_kc
+    from gaussianavatars_tpu.ops.sort_binning import bbox_tiles, probe_tiers
+
+    verts0 = model.forward(fl)
+    wg0 = world_gaussians(params, aux, face_frames(verts0[0], model.faces))
+    proj0 = project_from_params(wg0.means, wg0.scales, wg0.quats, cam, alive=wg0.alive)
+    dirs0 = wg0.means - cam.camera_center
+    dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True).clip(1e-12)
+    colors0 = eval_sh_color_kc(wg0.sh, dirs0, 3)
+    opac0 = jnp.where(proj0.mask, wg0.opacity, 0.0)
+    _tx, _ty, _bw, ntiles0, _nty, _ntx = bbox_tiles(
+        proj0, HEIGHT, WIDTH, 32, 32, opacity=opac0
+    )
+    fps0 = np.asarray(jnp.where(proj0.mask, ntiles0, 0))
+    spec = probe_tiers(fps0)
+    TILE = TileConfig(tile_h=32, tile_w=32, base_budget=spec.base, tiers=spec.tiers)
+
     def render_frame(carry, _i):
         _img, s = carry
         jaw = jnp.zeros((1, 3)) + s * 1e-9   # FLAME update every frame
@@ -126,18 +145,6 @@ def main():
     # Guard: the tier budgets must not truncate anything, or the headline
     # FPS is measured on partial frames. The sorted layout has no pair/tile
     # capacity; the only budget is the per-Gaussian tier budget.
-    from gaussianavatars_tpu.ops.projection import project_from_params
-    from gaussianavatars_tpu.ops.rasterize_sorted import rasterize_sorted
-    from gaussianavatars_tpu.ops.sh import eval_sh_color_kc
-
-    verts0 = model.forward(fl)
-    wg0 = world_gaussians(params, aux, face_frames(verts0[0], model.faces))
-    proj0 = project_from_params(wg0.means, wg0.scales, wg0.quats, cam, alive=wg0.alive)
-    dirs0 = wg0.means - cam.camera_center
-    dirs0 = dirs0 / jnp.linalg.norm(dirs0, axis=-1, keepdims=True).clip(1e-12)
-    colors0 = eval_sh_color_kc(wg0.sh, dirs0, 3)
-    opac0 = jnp.where(proj0.mask, wg0.opacity, 0.0)
-    spec = TILE.tier_spec(wg0.means.shape[0])
     _img0, _a0, plan0 = jax.jit(lambda: rasterize_sorted(
         proj0, colors0, opac0, HEIGHT, WIDTH, jnp.zeros(3),
         TILE.tile_h, TILE.tile_w, spec,

@@ -125,6 +125,54 @@ def default_tiers(capacity: int) -> TierSpec:
     )
 
 
+def probe_tiers(
+    footprints,
+    base: int = 2,
+    margin: float = 1.3,
+    ladder: Sequence[int] = (8, 24, 64, 128, 256, 512),
+) -> TierSpec:
+    """Size a TierSpec from a measured footprint distribution (zero
+    truncation on the probe frame, with `margin` headroom for motion).
+
+    `footprints` = per-Gaussian clipped bbox tile counts of one
+    representative frame (`bbox_tiles` → masked ntiles). For each ladder
+    budget, tier membership = the number of Gaussians whose footprint
+    exceeds the previous budget, scaled by `margin` and 128-aligned; the
+    ladder stops once the largest footprint (plus headroom) is covered.
+    Used by bench.py and the training loop's init-time auto-probe so the
+    DEFAULT configuration reproduces the benchmark's zero-overflow setup;
+    mid-training drift beyond the margin is caught by ``budget_overflow``
+    and `grow_tiers`."""
+    import numpy as np
+
+    fp = np.asarray(footprints)
+    n = fp.shape[0]
+    n_aligned = -(-n // ALIGN) * ALIGN
+    fmax = int(fp.max()) if n else 0
+    top_needed = int(fmax * margin) + 1
+    tiers: list[tuple[int, int]] = []
+    prev_b = base
+    for b in ladder:
+        if fmax <= prev_b:
+            break
+        cnt = int((fp > prev_b).sum() * margin)
+        cnt = min(-(-max(cnt, 1) // ALIGN) * ALIGN, n_aligned)
+        b_eff = min(b, top_needed)
+        if b_eff <= prev_b:
+            break
+        tiers.append((cnt, b_eff))
+        prev_b = b_eff
+        if b_eff >= top_needed:
+            break
+    else:
+        if fmax > prev_b:  # ladder exhausted below the max footprint
+            tiers.append((ALIGN, top_needed))
+    # Counts non-increasing (TierSpec invariant).
+    for i in range(len(tiers) - 2, -1, -1):
+        tiers[i] = (max(tiers[i][0], tiers[i + 1][0]), tiers[i][1])
+    return TierSpec(base=base, tiers=tuple(tiers))
+
+
 def grow_tiers(
     spec: TierSpec, max_footprint: int, n_gauss: Optional[int] = None
 ) -> TierSpec:

@@ -199,6 +199,61 @@ def build_harness(
     )
 
 
+def probe_tier_budgets(
+    tcfg: TileConfig,
+    cfg: Config,
+    model: Optional[FlameModel],
+    state: TrainState,
+    camera: Camera,
+    verbose: bool = True,
+) -> TileConfig:
+    """Init-time tier auto-probe (sorted-data pipeline).
+
+    When no explicit `tiers` are configured, size them from the FIRST
+    frame's measured footprint distribution (`sort_binning.probe_tiers`)
+    BEFORE compiling any step — the default configuration then renders the
+    probe frame with zero tier-budget truncation and the margin headroom
+    absorbs normal motion; densification drift beyond it is caught by
+    ``budget_overflow`` → `_grow_tile_budgets`. bench.py runs the same
+    probe, so a default `scripts/train.py` run reproduces the benched
+    configuration."""
+    if tcfg.tiers or not (cfg.pipeline.use_sorted and cfg.pipeline.use_pallas):
+        return tcfg
+    from ..models.gaussians import world_gaussians
+    from ..ops.projection import project_from_params
+    from ..ops.sort_binning import bbox_tiles, probe_tiers
+
+    if model is not None and state.flame is not None:
+        ts = int(getattr(camera, "timestep", 0) or 0)
+        fp = FlameParams(
+            shape=state.flame_static.shape,
+            expr=state.flame.expr[ts][None],
+            rotation=state.flame.rotation[ts][None],
+            neck=state.flame.neck[ts][None],
+            jaw=state.flame.jaw[ts][None],
+            eyes=state.flame.eyes[ts][None],
+            translation=state.flame.translation[ts][None],
+            static_offset=state.flame_static.static_offset,
+        )
+        verts = model.forward(fp)
+        frames = face_frames(verts[0], model.faces)
+    else:
+        frames = None
+    wg = world_gaussians(state.params, state.aux, frames)
+    proj = project_from_params(wg.means, wg.scales, wg.quats, camera, alive=wg.alive)
+    opac = jnp.where(proj.mask, wg.opacity, 0.0)
+    _tx, _ty, _bw, ntiles, _nty, _ntx = bbox_tiles(
+        proj, camera.height, camera.width, tcfg.tile_h, tcfg.tile_w, opacity=opac
+    )
+    spec = probe_tiers(np.asarray(jnp.where(proj.mask, ntiles, 0)))
+    if verbose:
+        print(
+            f"[info] tier auto-probe: base={spec.base} tiers={spec.tiers} "
+            f"(expansion {spec.expansion_size(state.params.means.shape[0])} slots)"
+        )
+    return dataclasses.replace(tcfg, base_budget=spec.base, tiers=spec.tiers)
+
+
 def make_render_fn(model: Optional[FlameModel], cfg: Config, tcfg: TileConfig):
     """Jitted full-forward render for eval/offline use."""
     use_flame = model is not None
@@ -649,6 +704,9 @@ def train(
     o = cfg.opt
     iterations = iterations if iterations is not None else o.iterations
     tcfg = tile_config(cfg)
+    _train_cams = scene.cameras("train", 1.0)
+    if _train_cams:
+        tcfg = probe_tier_budgets(tcfg, cfg, model, harness.state, _train_cams[0])
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
 
     if steps_per_call > 1 and len(
@@ -910,6 +968,16 @@ def train_sharded(
     o = cfg.opt
     iterations = iterations if iterations is not None else o.iterations
     tcfg = tile_config(cfg)
+    _train_cams = scene.cameras("train", 1.0)
+    if _train_cams:
+        from ..parallel.distributed import is_coordinator as _is_coord
+
+        # Full-frame probe — a safe upper bound for the per-band footprints
+        # each tile-device actually bins.
+        tcfg = probe_tier_budgets(
+            tcfg, cfg, model, harness.state, _train_cams[0],
+            verbose=_is_coord(),
+        )
     bg = jnp.asarray(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
     )
