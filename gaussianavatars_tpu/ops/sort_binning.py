@@ -166,7 +166,9 @@ def probe_tiers(
             break
     else:
         if fmax > prev_b:  # ladder exhausted below the max footprint
-            tiers.append((ALIGN, top_needed))
+            cnt = int((fp > prev_b).sum() * margin)
+            cnt = min(-(-max(cnt, 1) // ALIGN) * ALIGN, n_aligned)
+            tiers.append((cnt, top_needed))
     # Counts non-increasing (TierSpec invariant).
     for i in range(len(tiers) - 2, -1, -1):
         tiers[i] = (max(tiers[i][0], tiers[i + 1][0]), tiers[i][1])
@@ -282,7 +284,6 @@ def sort_bin_forward(
     )
     _, txs, tys, bws, nts, dbs, gidx_fp = fp[:7]
     ds = fp[7:]
-    inv_bw = 1.0 / bws.astype(jnp.float32)
 
     # Budget overflow: footprint beyond the tier budget at each fp rank.
     rank = jnp.arange(n, dtype=i32)
@@ -298,11 +299,11 @@ def sort_bin_forward(
     for n_sel, j0, j1 in spec.blocks(n):
         nb = j1 - j0
         j = j0 + jnp.arange(nb, dtype=i32)[None, :]              # [1, nb]
-        # Exact float division: j < 2^24 and bw ≤ 2^24, the quotient is
-        # exactly rounded, and floor can only disagree with integer // at
-        # exact integers (where the quotient is exact) — so this matches
-        # j // bw at a fraction of the VPU cost of an integer divide.
-        dy = jnp.floor(j.astype(jnp.float32) * inv_bw[:n_sel, None]).astype(i32)
+        # Integer division: floor(j * float32(1/bw)) is NOT exact — the
+        # rounded reciprocal puts the product just below an integer at
+        # j = k·bw for many widths (smallest bw=41), which binned the slot
+        # to a tile outside the bbox and dropped the true tile entirely.
+        dy = j // bws[:n_sel, None]
         dx = j - dy * bws[:n_sel, None]
         t_ = (tys[:n_sel, None] + dy) * ntx + (txs[:n_sel, None] + dx)
         valid = j < nts[:n_sel, None]

@@ -213,6 +213,10 @@ def make_sharded_train_step(
                     eyes=flame.eyes[timestep][None],
                     translation=flame.translation[timestep][None],
                     static_offset=state.flame_static.static_offset,
+                    dynamic_offset=(
+                        None if flame.dynamic_offset is None
+                        else flame.dynamic_offset[timestep][None]
+                    ),
                 )
                 if o.lambda_laplacian != 0:
                     verts, verts_cano = model.forward(fp, return_verts_cano=True)
@@ -264,18 +268,48 @@ def make_sharded_train_step(
             if use_flame:
                 visible = jax.lax.stop_gradient(proj.radius > 0)
                 nvis = jnp.maximum(jnp.sum(visible), 1)
-                xyz_excess = jax.nn.relu(
-                    safe_norm(params.means, axis=1) - o.threshold_xyz
-                )
+                # Full knob parity with trainer.make_train_step (reference
+                # `train.py:213-229`): metric-unit variants use the per-
+                # Gaussian face scaling (frames/aux are replicated, so this
+                # is identical across 'tile' by value).
+                fs = frames.scaling[state.aux.binding]        # [N, 1]
+                if o.metric_xyz:
+                    xyz_excess = safe_norm(
+                        jax.nn.relu(params.means * fs - o.threshold_xyz), axis=1
+                    )
+                else:
+                    xyz_excess = jax.nn.relu(
+                        safe_norm(params.means, axis=1) - o.threshold_xyz
+                    )
                 reg_total += (
                     jnp.sum(jnp.where(visible, xyz_excess, 0.0)) / nvis
                     * o.lambda_xyz
                 )
                 if o.lambda_scale != 0:
-                    sc = jax.nn.relu(jnp.exp(params.log_scales) - o.threshold_scale)
+                    scale_val = jnp.exp(params.log_scales)
+                    if o.metric_scale:
+                        scale_val = scale_val * fs            # get_scaling
+                    sc = jax.nn.relu(scale_val - o.threshold_scale)
                     reg_total += jnp.sum(
                         jnp.where(visible, safe_norm(sc, axis=1), 0.0)
                     ) / nvis * o.lambda_scale
+                if flame.dynamic_offset is not None and o.lambda_dynamic_offset != 0:
+                    # `compute_dynamic_offset_loss`
+                    # (`scene/flame_gaussian_model.py:155-158`).
+                    reg_total += (
+                        safe_norm(flame.dynamic_offset[timestep], axis=-1).mean()
+                        * o.lambda_dynamic_offset
+                    )
+                if (
+                    flame.dynamic_offset is not None
+                    and o.lambda_dynamic_offset_std != 0
+                ):
+                    # std over time (Bessel-corrected), mean over verts/xyz
+                    # (`train.py:228-229`).
+                    reg_total += (
+                        jnp.std(flame.dynamic_offset, axis=0, ddof=1).mean()
+                        * o.lambda_dynamic_offset_std
+                    )
                 if o.lambda_laplacian != 0:
                     reg_total += (
                         model.laplacian_loss(verts, verts_cano) * o.lambda_laplacian

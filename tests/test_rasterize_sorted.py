@@ -161,3 +161,36 @@ def test_render_tiled_sorted_mode_matches_scan():
     np.testing.assert_allclose(
         np.asarray(out_sorted.color), np.asarray(out_scan.color), atol=1e-5
     )
+
+
+def test_wide_bbox_row_split_exact():
+    """Regression: dy = j // bw must be exact for wide bboxes (bw >= 41).
+
+    The former floor(j * float32(1/bw)) put slot j = k*bw one row early for
+    many widths (smallest failing bw = 41), binning the slot to a tile
+    outside the bbox and silently dropping the true tile (k, 0)."""
+    from gaussianavatars_tpu.ops.sort_binning import sort_bin_forward
+
+    i32, f32 = jnp.int32, jnp.float32
+    n, ntx, nty = 128, 64, 4
+    nt = ntx * nty
+    for bw_v in (41, 47, 55, 61, 82):
+        rows = 2 if bw_v <= 64 else 1
+        ntiles = bw_v * rows
+        spec = TierSpec(base=2, tiers=((128, ntiles + 2),))
+        tminx = jnp.zeros((n,), i32)
+        tminy = jnp.zeros((n,), i32)
+        bw = jnp.full((n,), bw_v, i32)
+        ntiles_eff = jnp.zeros((n,), i32).at[0].set(ntiles)
+        depth_bits = jnp.arange(n, dtype=i32)
+        data_cols = [jnp.arange(n, dtype=f32)] * 9
+        s_data, s_tile, s_pos, gidx_fp, overflow = jax.jit(
+            sort_bin_forward, static_argnums=(6, 7, 8)
+        )(data_cols, tminx, tminy, bw, ntiles_eff, depth_bits, ntx, nt, spec)
+        assert int(overflow) == 0
+        live = np.asarray(s_tile)
+        live = live[live < nt]
+        expect = np.sort(
+            np.array([(j // bw_v) * ntx + (j % bw_v) for j in range(ntiles)])
+        )
+        np.testing.assert_array_equal(np.sort(live), expect), bw_v
