@@ -71,3 +71,34 @@ def test_color_clamped_nonnegative():
     dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
     out = eval_sh_color(sh, dirs, 0)
     assert np.all(np.asarray(out) >= 0.0)
+
+
+def test_degree4_orthonormal():
+    """Degree-4 rows validated against the defining property of the real SH
+    basis: orthonormality over the sphere, ∫ Y_i·Y_j dΩ = δ_ij. Exact
+    Gauss-Legendre × trapezoidal quadrature (products are degree-8
+    polynomials in cosθ and trig polynomials of order ≤ 8 in φ)."""
+    nodes, weights = np.polynomial.legendre.leggauss(16)   # cosθ
+    n_phi = 32
+    phi = np.arange(n_phi) * (2 * np.pi / n_phi)
+    ct, ph = np.meshgrid(nodes, phi, indexing="ij")
+    st = np.sqrt(1.0 - ct * ct)
+    dirs = np.stack([st * np.cos(ph), st * np.sin(ph), ct], axis=-1)
+    B = np.asarray(sh_basis(jnp.asarray(dirs.reshape(-1, 3)), 4))
+    B = B.reshape(16, n_phi, 25)
+    w = weights[:, None] * (2 * np.pi / n_phi)
+    gram = np.einsum("tpi,tpj,tp->ij", B, B, w)
+    np.testing.assert_allclose(gram, np.eye(25), atol=1e-5)
+
+
+def test_degree4_eval_consumes_25_coeffs():
+    key = jax.random.PRNGKey(4)
+    sh = jax.random.normal(key, (8, 3, 25))
+    dirs = jax.random.normal(jax.random.PRNGKey(14), (8, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    full = eval_sh(sh, dirs, 4)
+    # Degree-4 rows genuinely contribute.
+    assert np.abs(np.asarray(full - eval_sh(sh[..., :16], dirs, 3))).max() > 1e-3
+    # Zeroing rows 16..24 reduces exactly to the degree-3 evaluation.
+    sh_z = sh.at[..., 16:].set(0.0)
+    np.testing.assert_allclose(eval_sh(sh_z, dirs, 4), eval_sh(sh, dirs, 3), atol=1e-6)
