@@ -45,25 +45,11 @@ class PipelineConfig:
     tile_w: int = 32
     capacity_per_tile: int = 1024
     max_tiles_per_gaussian: int = 16
-    # Two-class binning (0 = off): see ops/rasterize_tiled.TileConfig —
-    # only the `big_slots` largest-footprint Gaussians get the full
-    # max_tiles_per_gaussian budget; the rest get `small_budget` slots,
-    # shrinking the binning pair sort ~3x.
-    big_slots: int = 0
-    small_budget: int = 2
     use_pallas: bool = True         # pallas kernels on TPU, scan fallback elsewhere
-    # Pair-layout rasterization (ops/pairs.py): capacity-free per-tile
-    # segments with early-exit chunked kernels.
-    # False falls back to the padded-table pipeline.
-    use_pairs: bool = True
-    # Total sorted-pair capacity for the pair layout (0 = safe maximum =
-    # the full expansion). Smaller trims the per-frame parameter gather;
-    # overflow is observed and grown by the training loop.
-    pair_cap: int = 0
-    # Sorted-data pipeline (ops/rasterize_sorted.py) — the round-4
-    # production path: screen params ride the binning sort (no gather),
-    # tiered budgets bound the expansion, backward reduces by contiguous
-    # slice adds. False falls back to the round-3 pair pipeline.
+    # Sorted-data pipeline (ops/rasterize_sorted.py) — the production
+    # path: screen params ride the binning sort (no gather), tiered
+    # budgets bound the expansion, backward reduces by contiguous slice
+    # adds. False falls back to the portable table + lax.scan compositor.
     use_sorted: bool = True
     # Tiered budgets for the sorted pipeline: every Gaussian gets
     # `base_budget` expansion slots; each (count, budget) tier gives the

@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the hot rasterizer path."""
-from .composite import composite_tiles_pallas, make_pallas_compositor
+"""Pallas TPU kernels: the sorted-pipeline compositors (composite_pairs)."""
+from .composite_pairs import bwd_call_pairs, fwd_call_pairs
 
-__all__ = ["composite_tiles_pallas", "make_pallas_compositor"]
+__all__ = ["bwd_call_pairs", "fwd_call_pairs"]

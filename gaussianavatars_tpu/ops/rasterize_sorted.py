@@ -1,6 +1,6 @@
 """Sorted-data rasterization pipeline (production TPU path, round 4).
 
-Replaces `ops/rasterize_pairs.py`'s gather-based front end with the
+Replaces the round-3 gather-based front end with the
 data-carrying sort of `ops/sort_binning.py` and composites with the same
 chunked-DMA Pallas kernels (`ops/pallas/composite_pairs.py`). One custom
 VJP (`sort_gather`) spans the whole binning:
@@ -171,7 +171,7 @@ def _cs_bwd(geom, res, cot):
     g_acc_t, g_t = cot
     d_dataT = bwd_call_pairs(
         dataT, starts, counts, acc, tfin, stop, g_acc_t, g_t, th, tw, ntx,
-        amp=amp, zero_init=True,
+        amp=amp,
     )
     return d_dataT, _float0_like(starts), _float0_like(counts)
 

@@ -23,9 +23,8 @@ re-designed for XLA/TPU rather than translated:
 Semantics (alpha cutoffs, 0.99 clamp, 1e-4 early stop, background blend)
 match `ops/rasterize_dense.py`, which is the tested ground truth.
 
-The same structure maps 1:1 onto the Pallas kernel in
-`ops/pallas/composite.py` (per-tile grid, capacity loop in VMEM); this file is
-also the CPU/interpret fallback.
+This file is the portable fallback and the kernel tests' cross-check; the
+production path is the sorted-data pipeline (`ops/rasterize_sorted.py`).
 """
 from __future__ import annotations
 
@@ -49,24 +48,8 @@ class TileConfig:
     tile_w: int = 32
     capacity: int = 1024          # max Gaussians composited per tile
     max_tiles_per_gaussian: int = 32  # per-Gaussian tile-budget for binning
-    # Two-class binning (0 = off): the `big_slots` Gaussians with the largest
-    # tile footprint get the full `max_tiles_per_gaussian` budget; everyone
-    # else gets `small_budget` slots. Most splats of a trained avatar touch
-    # 1-2 tiles, so this shrinks the sorted pair list ~3x (the pair sort is
-    # the #2 term in the roofline, utils/roofline.py) at the cost of one
-    # extra [N] argsort. Bit-identical to one-class binning whenever
-    # #(Gaussians with footprint > small_budget) <= big_slots; otherwise the
-    # truncation is counted in `Binned.budget_overflow` and the training
-    # loop's growth path recovers.
-    big_slots: int = 0
-    small_budget: int = 2
-    # Pair-layout total aligned-pair capacity (0 = safe default that can
-    # never overflow: the full expansion plus per-tile alignment padding).
-    # Smaller values shrink the pair gather; `PairBins.overflow` reports
-    # any truncation so the training loop's growth machinery can re-trace.
-    pair_cap: int = 0
-    # Sorted-data pipeline (ops/rasterize_sorted.py, the round-4 production
-    # path): tiered budgets. `base_budget` slots for every Gaussian; each
+    # Sorted-data pipeline (ops/rasterize_sorted.py, the production path):
+    # tiered budgets. `base_budget` slots for every Gaussian; each
     # (count, budget) tier gives the `count` footprint-heaviest Gaussians
     # slots up to `budget`. Empty = auto (sort_binning.default_tiers at the
     # padded Gaussian count).
@@ -101,13 +84,13 @@ class Binned(NamedTuple):
 def expand_sorted_pairs(
     proj: Projected, height: int, width: int, cfg: TileConfig,
     opacity: Optional[jnp.ndarray] = None,
-    with_pos: bool = False,
 ):
     """Expand per-Gaussian tile bboxes into (tile, depth-rank) pairs and sort.
 
-    The shared front half of both binning layouts (`bin_gaussians` table
-    layout and `ops/pairs.bin_pairs` pair layout). All integer bookkeeping;
-    wrapped in stop_gradient by callers.
+    The binning front half of the portable-fallback table layout
+    (`bin_gaussians`). All integer bookkeeping; wrapped in stop_gradient by
+    callers. (The production sorted-data pipeline uses its own
+    data-carrying variant, `ops/sort_binning.sort_bin_forward`.)
 
     TPU cost model (measured, v5e): `jax.lax.sort` ≈ 2-3 ns per (key,
     payload) pair. Depth ordering rides in the low bits of a single packed
@@ -122,15 +105,9 @@ def expand_sorted_pairs(
     image is bit-identical while sort pairs and tile occupancy shrink
     (substantially for anisotropic or low-opacity splats).
 
-    Returns (s_tile [M] int32, s_gidx [M] int32, s_pos [M] int32 | None,
-    pair_drops [N] int32, nt, ntx, big_idx [nb] int32 | None) where M is the
-    static padded pair count (invalid pairs carry tile == nt and sort to the
-    end) and s_pos is each sorted pair's position in the pre-sort expansion
-    layout (for gradient un-permutation; only with ``with_pos``). With
-    two-class binning (cfg.big_slots > 0) the expansion layout is
-    ``concat(small [N, small_budget], big [nb, max_tiles_per_gaussian])``
-    and ``big_idx`` maps big rows to Gaussian indices (this frame's
-    footprint-heaviest Gaussians); single-class returns ``None``.
+    Returns (s_tile [M] int32, s_gidx [M] int32, pair_drops [N] int32,
+    nt, ntx) where M is the static padded pair count (invalid pairs carry
+    tile == nt and sort to the end).
     """
     nty, ntx = cfg.grid(height, width)
     nt = nty * ntx
@@ -177,101 +154,53 @@ def expand_sorted_pairs(
         return tile_key, rank_f, gidx_f
 
     gidx_all = jnp.arange(n, dtype=jnp.int32)
-    nb = min(cfg.big_slots, n)
-    if nb > 0:
-        # Two-class expansion: footprint-heavy Gaussians keep the full
-        # budget, the rest expand only `small_budget` slots (see TileConfig).
-        sb = cfg.small_budget
-        ntiles_eff = jnp.where(proj.mask, ntiles_per_g, 0)
-        big_idx = jnp.argsort(-ntiles_eff)[:nb]
-        is_big = jnp.zeros((n,), bool).at[big_idx].set(True)
-        tk_s, rk_s, gi_s = expand(
-            tminx, tminy, bw, ntiles_per_g, proj.mask & ~is_big,
-            rank, gidx_all, sb,
-        )
-        tk_b, rk_b, gi_b = expand(
-            tminx[big_idx], tminy[big_idx], bw[big_idx], ntiles_per_g[big_idx],
-            proj.mask[big_idx], rank[big_idx], big_idx, budget,
-        )
-        tile_key_f = jnp.concatenate([tk_s, tk_b])
-        rank_f = jnp.concatenate([rk_s, rk_b])
-        gidx_f = jnp.concatenate([gi_s, gi_b])
-        pair_drops = jnp.where(
-            proj.mask & is_big, jnp.maximum(ntiles_per_g - budget, 0), 0
-        ) + jnp.where(
-            proj.mask & ~is_big, jnp.maximum(ntiles_per_g - sb, 0), 0
-        )
-        big_idx = big_idx.astype(jnp.int32)
-    else:
-        big_idx = None
-        tile_key_f, rank_f, gidx_f = expand(
-            tminx, tminy, bw, ntiles_per_g, proj.mask, rank, gidx_all, budget
-        )
-        pair_drops = jnp.where(
-            proj.mask, jnp.maximum(ntiles_per_g - budget, 0), 0
-        )
+    tile_key_f, rank_f, gidx_f = expand(
+        tminx, tminy, bw, ntiles_per_g, proj.mask, rank, gidx_all, budget
+    )
+    pair_drops = jnp.where(
+        proj.mask, jnp.maximum(ntiles_per_g - budget, 0), 0
+    )
 
     # Adaptive key split: tile bits as needed, depth-rank bits with the rest.
     tile_bits = max(int(nt + 1).bit_length(), 1)
     rank_bits = 31 - tile_bits
-    pos_f = (jnp.arange(tile_key_f.shape[0], dtype=jnp.int32)
-             if with_pos else None)
     if n <= (1 << rank_bits):
         # Fast path: one packed key (tile ≪ rank_bits | rank), one payload.
         packed = (tile_key_f << rank_bits) | rank_f.astype(jnp.uint32)
-        if with_pos:
-            s_key, s_gidx, s_pos = jax.lax.sort((packed, gidx_f, pos_f), num_keys=1)
-        else:
-            s_key, s_gidx = jax.lax.sort((packed, gidx_f), num_keys=1)
-            s_pos = None
+        s_key, s_gidx = jax.lax.sort((packed, gidx_f), num_keys=1)
         s_tile = (s_key >> rank_bits).astype(jnp.int32)
     else:
         # Large tile grids: lexicographic two-key sort.
-        if with_pos:
-            s_tile, _s_rank, s_gidx, s_pos = jax.lax.sort(
-                (tile_key_f.astype(jnp.int32), rank_f, gidx_f, pos_f), num_keys=2
-            )
-        else:
-            s_tile, _s_rank, s_gidx = jax.lax.sort(
-                (tile_key_f.astype(jnp.int32), rank_f, gidx_f), num_keys=2
-            )
-            s_pos = None
-    return s_tile, s_gidx, s_pos, pair_drops, nt, ntx, big_idx
+        s_tile, _s_rank, s_gidx = jax.lax.sort(
+            (tile_key_f.astype(jnp.int32), rank_f, gidx_f), num_keys=2
+        )
+    return s_tile, s_gidx, pair_drops, nt, ntx
 
 
 def bin_gaussians(proj: Projected, height: int, width: int, cfg: TileConfig,
-                  pallas_table: bool = True,
                   opacity: Optional[jnp.ndarray] = None) -> Binned:
     """Assign Gaussians to image tiles, front-to-back within each tile.
 
     Table layout: a dense [num_tiles, capacity] index table built by slicing
-    the sorted pair array per tile (a contiguous gather per tile). See
-    `expand_sorted_pairs` for the shared expansion/sort and
-    `ops/pairs.bin_pairs` for the capacity-free pair layout used by the
-    production Pallas path.
+    the sorted pair array per tile. This is the portable-fallback binning
+    (the production path is the data-carrying sort in `ops/sort_binning.py`,
+    which never materialises an index table).
     """
     nty, ntx = cfg.grid(height, width)
     nt = nty * ntx
-    s_tile, s_gidx, _s_pos, pair_drops, nt, ntx, _big_idx = expand_sorted_pairs(
+    s_tile, s_gidx, pair_drops, nt, ntx = expand_sorted_pairs(
         proj, height, width, cfg, opacity=opacity
     )
 
     # Per-tile segment starts; table rows are contiguous slices of the sorted
-    # order (front-to-back within a tile by construction) — built by NT
-    # contiguous DMAs in a tiny Pallas kernel (XLA's gather costs ~17ns per
-    # index regardless of contiguity; this path is ~10× cheaper).
+    # order (front-to-back within a tile by construction).
     starts = jnp.searchsorted(s_tile, jnp.arange(nt, dtype=jnp.int32), side="left")
     ends = jnp.searchsorted(s_tile, jnp.arange(nt, dtype=jnp.int32), side="right")
     counts = (ends - starts).astype(jnp.int32)
-    if pallas_table and cfg.capacity % 128 == 0:
-        from .pallas.binning import segment_slice_table
-
-        idx = segment_slice_table(s_gidx, starts, counts, cfg.capacity)
-    else:  # small/unaligned capacities (tests): plain gather
-        m = s_tile.shape[0]
-        take = starts[:, None] + jnp.arange(cfg.capacity, dtype=jnp.int32)[None, :]
-        in_seg = jnp.arange(cfg.capacity, dtype=jnp.int32)[None, :] < counts[:, None]
-        idx = jnp.where(in_seg, s_gidx[jnp.minimum(take, m - 1)], -1)
+    m = s_tile.shape[0]
+    take = starts[:, None] + jnp.arange(cfg.capacity, dtype=jnp.int32)[None, :]
+    in_seg = jnp.arange(cfg.capacity, dtype=jnp.int32)[None, :] < counts[:, None]
+    idx = jnp.where(in_seg, s_gidx[jnp.minimum(take, m - 1)], -1)
 
     ty = jnp.arange(nt, dtype=jnp.int32) // ntx
     tx = jnp.arange(nt, dtype=jnp.int32) % ntx
@@ -528,21 +457,20 @@ def render_tiled(
     compositor=None,
     use_pallas: bool = True,
     amp: bool = False,
-    pairs: Optional[bool] = None,
     sorted_data: Optional[bool] = None,
 ) -> RenderOutput:
     """Drop-in tiled equivalent of `render_dense` (same semantics).
 
-    By default the production **sorted-data** pipeline runs when
-    `use_pallas` and no explicit compositor is given: the screen parameters
-    ride the binning sort as payload (no gather), tiered budgets bound the
-    expansion, and the chunked-DMA Pallas kernels composite
-    (`ops/sort_binning.py`, `ops/rasterize_sorted.py`; interpreted
-    off-TPU). `sorted_data=False, pairs=True` selects the round-3
-    gather-based pair layout; `pairs=False` the padded-table path
-    (`bin_gaussians` + `ops/pallas/composite.py` or the lax.scan compositor
-    with `use_pallas=False`). `amp` selects bf16 inputs for the backward's
-    MXU contractions (the `use_amp` policy, config.py).
+    Two retained paths. By default the production **sorted-data** pipeline
+    runs when `use_pallas` and no explicit compositor is given: the screen
+    parameters ride the binning sort as payload (no gather), tiered
+    budgets bound the expansion, and the chunked-DMA Pallas kernels
+    composite (`ops/sort_binning.py`, `ops/rasterize_sorted.py`;
+    interpreted off-TPU). `use_pallas=False` (or `sorted_data=False`)
+    selects the portable fallback: the padded-table binning plus the
+    `lax.scan` compositor — used as the cross-check in kernel-parity tests
+    and on backends without Mosaic. `amp` selects bf16 inputs for the
+    backward's MXU contractions (the `use_amp` policy, config.py).
     """
     proj = project_from_params(means3d, scales, quats, camera, scale_modifier, alive=alive)
     if colors is None:
@@ -554,7 +482,7 @@ def render_tiled(
 
     opac_eff = jnp.where(proj.mask, opacity, 0.0)
     if sorted_data is None:
-        sorted_data = use_pallas and compositor is None and pairs is None
+        sorted_data = use_pallas and compositor is None
     if sorted_data:
         from .rasterize_sorted import rasterize_sorted
 
@@ -566,44 +494,15 @@ def render_tiled(
         return RenderOutput(
             color=img, alpha=alpha, radii=proj.radius, visibility=proj.radius > 0
         )
-    if pairs is None:
-        pairs = use_pallas and compositor is None
-    if pairs:
-        from .pairs import bin_pairs
-        from .rasterize_pairs import rasterize_pairs
-
-        bins = bin_pairs(
-            jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
-            camera.height, camera.width, cfg,
-            opacity=jax.lax.stop_gradient(opac_eff),
-            with_pos=True,
-            pair_cap=cfg.pair_cap or None,
-        )
-        img, alpha = rasterize_pairs(
-            proj.mean2d, proj.conic, colors, opac_eff, bins,
-            camera.height, camera.width, bg_color, cfg, amp=amp,
-        )
-        return RenderOutput(
-            color=img, alpha=alpha, radii=proj.radius, visibility=proj.radius > 0
-        )
     binned = bin_gaussians(
         jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
         camera.height, camera.width, cfg,
         opacity=jax.lax.stop_gradient(opac_eff),
     )
-    if compositor is None:
-        if use_pallas:
-            from .pallas.composite import make_pallas_compositor
-
-            _nty, ntx = cfg.grid(camera.height, camera.width)
-            compositor = make_pallas_compositor(
-                binned.counts, cfg.tile_h, cfg.tile_w, ntx, amp=amp
-            )
-        else:
-            compositor = composite_tiles
     img, alpha = rasterize_binned(
         proj.mean2d, proj.conic, colors, opac_eff, binned,
-        camera.height, camera.width, bg_color, cfg, compositor=compositor,
+        camera.height, camera.width, bg_color, cfg,
+        compositor=compositor or composite_tiles,
     )
     return RenderOutput(
         color=img, alpha=alpha, radii=proj.radius, visibility=proj.radius > 0

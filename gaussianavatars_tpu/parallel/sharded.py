@@ -337,7 +337,7 @@ def make_sharded_train_step(
                 proj_sg._replace(
                     mean2d=jax.lax.stop_gradient(screen[0]) - band_shift
                 ),
-                rows, W, tile_cfg, pallas_table=False,
+                rows, W, tile_cfg,
                 opacity=jax.lax.stop_gradient(screen[3]),
             )
 

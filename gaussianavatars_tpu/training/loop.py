@@ -103,8 +103,6 @@ def tile_config(cfg: Config) -> TileConfig:
     return TileConfig(
         tile_h=p.tile_h, tile_w=p.tile_w, capacity=p.capacity_per_tile,
         max_tiles_per_gaussian=p.max_tiles_per_gaussian,
-        big_slots=p.big_slots, small_budget=p.small_budget,
-        pair_cap=p.pair_cap,
         base_budget=p.base_budget, tiers=tuple(p.tiers),
     )
 
@@ -630,38 +628,21 @@ def _grow_tile_budgets(
             )
         return tcfg
     if overflow > 0:
-        if tcfg.pair_cap > 0:
-            # Pair layout: `overflow` counts sorted pairs truncated by the
-            # total pair_cap (there is no per-tile capacity to grow).
-            tcfg = dataclasses.replace(tcfg, pair_cap=tcfg.pair_cap * 2)
-            if verbose:
-                print(
-                    f"[warn] pair-cap overflow ({overflow} pairs truncated) — "
-                    f"pair_cap doubled to {tcfg.pair_cap} (recompiling steps)"
-                )
-        else:
-            tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
-            if verbose:
-                print(
-                    f"[warn] tile capacity overflow ({overflow} splats culled) — "
-                    f"tile capacity doubled to {tcfg.capacity} (recompiling steps)"
-                )
+        tcfg = dataclasses.replace(tcfg, capacity=tcfg.capacity * 2)
+        if verbose:
+            print(
+                f"[warn] tile capacity overflow ({overflow} splats culled) — "
+                f"tile capacity doubled to {tcfg.capacity} (recompiling steps)"
+            )
     if budget_overflow > 0:
         tcfg = dataclasses.replace(
             tcfg, max_tiles_per_gaussian=tcfg.max_tiles_per_gaussian * 2
         )
-        if tcfg.big_slots > 0:
-            # Two-class binning cannot attribute the drops to the big-class
-            # budget vs the big-class size, so grow both (each doubling only
-            # adds big_slots × budget pairs to the sort — cheap).
-            tcfg = dataclasses.replace(tcfg, big_slots=tcfg.big_slots * 2)
         if verbose:
             print(
                 f"[warn] tile-budget overflow ({budget_overflow} bbox tiles "
                 "truncated) — max_tiles_per_gaussian doubled to "
-                f"{tcfg.max_tiles_per_gaussian}"
-                + (f", big_slots to {tcfg.big_slots}" if tcfg.big_slots else "")
-                + " (recompiling steps)"
+                f"{tcfg.max_tiles_per_gaussian} (recompiling steps)"
             )
     return tcfg
 

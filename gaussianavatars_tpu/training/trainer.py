@@ -351,44 +351,18 @@ def make_train_step(
             cfg.pipeline.use_sorted and cfg.pipeline.use_pallas
             and compositor is None
         )
-        use_pairs = (
-            not use_sorted
-            and cfg.pipeline.use_pairs and cfg.pipeline.use_pallas
-            and compositor is None
-        )
         if use_sorted:
             pass  # binning happens inside image_loss (one custom-VJP seam)
-        elif use_pairs:
-            from ..ops.pairs import bin_pairs
-            from ..ops.rasterize_pairs import rasterize_pairs
-
-            pair_bins = bin_pairs(
-                proj_sg, H, W, tile_cfg,
-                opacity=jax.lax.stop_gradient(screen[3]),
-                with_pos=True, pair_cap=tile_cfg.pair_cap or None,
-            )
-            overflow = pair_bins.overflow
-            budget_overflow = pair_bins.budget_overflow
         else:
+            # Portable fallback: table binning + the lax.scan compositor
+            # (or an explicit `compositor` override from tests).
             binned = bin_gaussians(
                 proj_sg, H, W, tile_cfg,
                 opacity=jax.lax.stop_gradient(screen[3]),
             )
             overflow = binned.overflow
             budget_overflow = binned.budget_overflow
-            if compositor is None:
-                if cfg.pipeline.use_pallas:
-                    from ..ops.pallas.composite import make_pallas_compositor
-
-                    _nty, ntx = tile_cfg.grid(H, W)
-                    step_compositor = make_pallas_compositor(
-                        binned.counts, tile_cfg.tile_h, tile_cfg.tile_w, ntx,
-                        amp=o.use_amp,
-                    )
-                else:
-                    step_compositor = composite_tiles
-            else:
-                step_compositor = compositor
+            step_compositor = compositor or composite_tiles
 
         # ------------------------------------------------ stage 2: image loss
         def image_loss(screen, color_net):
@@ -408,11 +382,6 @@ def make_train_step(
                     jnp.zeros((), jnp.int32),       # no pair/tile capacity
                     plan.budget_overflow,
                     plan.max_footprint,
-                )
-            elif use_pairs:
-                img, alpha = rasterize_pairs(
-                    mean2d, conic, colors, opac, pair_bins, H, W, bg_color,
-                    tile_cfg, amp=o.use_amp,
                 )
             else:
                 img, alpha = rasterize_binned(

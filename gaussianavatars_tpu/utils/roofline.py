@@ -5,7 +5,7 @@ of each stage of the tiled rasterizer at a given scene occupancy, against
 the chip's published/measured primitive rates. `bench.py` evaluates it on
 the benchmark scene and reports measured/SoL.
 
-The model (counts audited against `ops/pallas/composite.py` and
+The model (counts audited against `ops/pallas/composite_pairs.py` and
 `ops/rasterize_tiled.py`):
 
   * **Compositing fwd** — per (slot, pixel) pair: dx/dy (2), quadratic form
@@ -90,10 +90,8 @@ def compositor_roofline(
       tiles_per_gauss: the static per-Gaussian tile BUDGET
         (TileConfig.max_tiles_per_gaussian) — same reasoning.
       height, width: image size (for Mpix/s conversion).
-      sort_pairs: explicit sorted-pair count override; pass
-        n_gauss * small_budget + big_slots * max_tiles_per_gaussian for
-        two-class binning (TileConfig.big_slots > 0), which shrinks the
-        padded pair list the sort covers.
+      sort_pairs: explicit sorted-pair count override (e.g. the tiered
+        expansion size of the sorted-data pipeline).
     """
     counts = np.asarray(counts)
     pairs = float(np.minimum(counts, capacity).sum()) * tile_pixels
@@ -179,67 +177,6 @@ def sorted_roofline(
         "t_bwd_vpu_ms": t_bwd_vpu * 1e3,
         "t_binning_ms": t_binning * 1e3,
         "t_grad_reduce_ms": t_grad_reduce * 1e3,
-        "t_hbm_floor_ms": t_hbm * 1e3,
-        "sol_render_fps": 1.0 / t_render_sol,
-        "sol_train_mpix_s": mpix / t_train_sol,
-        "sol_train_iters_s": 1.0 / t_train_sol,
-    }
-
-
-def pairs_roofline(
-    counts: np.ndarray,
-    tile_pixels: int,
-    n_expand: int,
-    pair_cap: int,
-    height: int,
-    width: int,
-    chip: ChipSpec = ChipSpec(),
-) -> Dict[str, float]:
-    """Speed-of-light model for the PAIR-layout pipeline (`ops/pairs.py` +
-    `ops/pallas/composite_pairs.py`), the production path.
-
-    Stage model (audited against the code):
-      * binning sort — (packed key, gidx, pos) over the full expansion
-        (`n_expand` slots; sentinel keys pad the invalid slots);
-      * pair gather — one 9-float row gather of `pair_cap` rows
-        (`rasterize_pairs.pair_gather`);
-      * fwd/bwd compositing — per (pair, pixel) VPU recurrence; pairs =
-        Σ counts · tile_pixels, an UPPER bound (the kernels early-exit on
-        per-pixel saturation, so achieved time can beat this "SoL");
-      * backward un-permute — the (pos + 9 payload) wide sort over
-        max(n_expand, pair_cap) slots (`pair_gather`'s VJP).
-
-    Note (ADVICE r3 + round-4 re-measurement): the production with_pos
-    binning sort carries (key, gidx, pos); the chained-loop protocol shows
-    payload width is nearly free on the XLA TPU sort, so pricing it at
-    `sort_s_per_pair` (key + 1 payload) is accurate, not understated.
-    """
-    counts = np.asarray(counts)
-    pairs = float(counts.sum()) * tile_pixels
-
-    t_fwd_vpu = pairs * FWD_FLOPS_PER_PAIR / chip.vpu_flops
-    t_bwd_vpu = pairs * BWD_FLOPS_PER_PAIR / chip.vpu_flops
-    t_sort = float(n_expand) * chip.sort_s_per_pair
-    t_gather = float(pair_cap) * chip.gather_s_per_row
-    t_unpermute = float(max(n_expand, pair_cap)) * chip.wide_sort_s_per_pair
-    # HBM floor: pair table in (fwd + bwd re-read) + pair grads out + images.
-    bytes_moved = (
-        float(pair_cap) * 16 * 4 * 3 + height * width * 3 * 4 * 4
-    )
-    t_hbm = bytes_moved / chip.hbm_bw
-
-    t_render_sol = t_fwd_vpu + t_sort + t_gather
-    t_train_sol = (
-        t_fwd_vpu + t_bwd_vpu + t_sort + 2 * t_gather + t_unpermute
-    )
-    mpix = height * width / 1e6
-    return {
-        "pairs": pairs,
-        "t_fwd_vpu_ms": t_fwd_vpu * 1e3,
-        "t_bwd_vpu_ms": t_bwd_vpu * 1e3,
-        "t_sort_ms": t_sort * 1e3,
-        "t_gather_ms": t_gather * 1e3,
-        "t_unpermute_ms": t_unpermute * 1e3,
         "t_hbm_floor_ms": t_hbm * 1e3,
         "sol_render_fps": 1.0 / t_render_sol,
         "sol_train_mpix_s": mpix / t_train_sol,

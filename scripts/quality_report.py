@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Turn a `train_synthetic.py --quality --json_out` result into QUALITY.md.
 
-The committed document is the round-2 quality-parity evidence (VERDICT
-round-1 item 3): the strongest proxy available in this environment — a
+The committed QUALITY.md is the end-to-end quality-parity evidence
+(VERDICT items r1-3/r3-5/r4-1): the strongest proxy available in this
+environment — a
 long self-reconstruction run at the reference benchmark geometry (802×550,
 `fps_benchmark_demo.py:76-80`) with the full recipe firing (densification
 growth, opacity resets, SH warm-up, all five innovations) — reported as a

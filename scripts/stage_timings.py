@@ -12,7 +12,6 @@ Usage: python scripts/stage_timings.py [--iters 100]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import sys
 import time
@@ -83,20 +82,35 @@ def main(argv=None):
 
     timed("geometry (FLAME+proj+SH)", lambda s: s + geometry(s)[0].mean2d[0, 0] * 0)
 
-    def with_binning(s, tight, tcfg=TILE):
-        proj, colors, wg = geometry(s)
-        proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        opac = jnp.where(proj_sg.mask, wg.opacity, 0.0) if tight else None
-        binned = bin_gaussians(proj_sg, H, W, tcfg, pallas_table=use_pallas,
-                               opacity=opac)
-        return s + binned.idx[0, 0].astype(jnp.float32) * 0 + proj.mean2d[0, 0] * 0
+    # Production binning: the data-carrying sort (sort_gather forward).
+    from gaussianavatars_tpu.ops.rasterize_sorted import (
+        composite_sorted, sort_gather,
+    )
+    from gaussianavatars_tpu.ops.sort_binning import bbox_tiles
 
-    timed("geometry + binning (loose)", lambda s: with_binning(s, False))
-    timed("geometry + binning (tight)", lambda s: with_binning(s, True))
-    # Pair-sort volume reduction: only the 8192 largest-footprint splats get
-    # the full tile budget (TileConfig.big_slots).
-    tile_2c = dataclasses.replace(TILE, big_slots=8192, small_budget=2)
-    timed("geometry + binning (two-class)", lambda s: with_binning(s, True, tile_2c))
+    spec = TILE.tier_spec(params.capacity)
+    nty, ntx = TILE.grid(H, W)
+    nt = nty * ntx
+
+    def sorted_binning(s):
+        proj, colors, wg = geometry(s)
+        sg = jax.lax.stop_gradient
+        proj_sg = jax.tree_util.tree_map(sg, proj)
+        opac = jnp.where(proj_sg.mask, wg.opacity, 0.0)
+        tminx, tminy, bw, ntiles, _, _ = bbox_tiles(
+            proj_sg, H, W, TILE.tile_h, TILE.tile_w, opacity=sg(opac)
+        )
+        ntiles_eff = jnp.where(proj_sg.mask, ntiles, 0)
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(proj_sg.depth, 1e-20).astype(jnp.float32), jnp.int32
+        )
+        dataT, plan = sort_gather(
+            (nt, ntx, spec), proj.mean2d, proj.conic, colors, opac,
+            (tminx, tminy, bw, ntiles_eff, depth_bits),
+        )
+        return s + dataT[0, 0] * 0 + plan.counts[0].astype(jnp.float32) * 0
+
+    timed("geometry + sorted binning", sorted_binning)
 
     def fwd(s):
         jaw = jnp.zeros((1, 3)) + s * 1e-12
@@ -111,59 +125,63 @@ def main(argv=None):
 
     timed("render fwd", lambda s: s + fwd(s).color[0, 0, 0] * 0)
 
-    # Composite-only rows: binning fixed (computed once outside the loop),
-    # geometry recomputed per iteration so the compositor sees fresh inputs.
-    def _setup_composite():
+    # Kernel-in-isolation rows: the binned table fixed (computed once),
+    # the Pallas compositors timed alone on it. These isolate the kernel
+    # cost from binning/geometry — the rows the kernel work optimises.
+    def _setup_table():
         proj, colors, wg = geometry(jnp.zeros(()))
-        proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
+        sg = jax.lax.stop_gradient
+        proj_sg = jax.tree_util.tree_map(sg, proj)
         opac = jnp.where(proj_sg.mask, wg.opacity, 0.0)
-        binned = bin_gaussians(proj_sg, H, W, TILE, pallas_table=use_pallas,
-                               opacity=jax.lax.stop_gradient(opac))
-        if use_pallas:
-            from gaussianavatars_tpu.ops.pallas.composite import make_pallas_compositor
-
-            _nty, ntx = TILE.grid(H, W)
-            comp = make_pallas_compositor(binned.counts, TILE.tile_h, TILE.tile_w, ntx)
-        else:
-            from gaussianavatars_tpu.ops.rasterize_tiled import composite_tiles
-            comp = composite_tiles
-        return binned, comp
-
-    binned_fix, comp_fix = _setup_composite()
-    binned_fix = jax.tree_util.tree_map(jax.lax.stop_gradient, binned_fix)
-
-    def comp_fwd(s):
-        proj, colors, wg = geometry(s)
-        opac = jnp.where(proj.mask, wg.opacity, 0.0)
-        img, alpha = rasterize_binned(
-            proj.mean2d, proj.conic, colors, opac, binned_fix, H, W, bg, TILE,
-            compositor=comp_fix,
+        tminx, tminy, bw, ntiles, _, _ = bbox_tiles(
+            proj_sg, H, W, TILE.tile_h, TILE.tile_w, opacity=sg(opac)
         )
-        return s + img[0, 0, 0] * 0
+        ntiles_eff = jnp.where(proj_sg.mask, ntiles, 0)
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(proj_sg.depth, 1e-20).astype(jnp.float32), jnp.int32
+        )
+        dataT, plan = sort_gather(
+            (nt, ntx, spec), proj_sg.mean2d, proj_sg.conic, sg(colors), opac,
+            (tminx, tminy, bw, ntiles_eff, depth_bits),
+        )
+        return jax.lax.stop_gradient(dataT), jax.tree_util.tree_map(
+            jax.lax.stop_gradient, plan
+        )
 
-    timed("geometry + composite fwd", comp_fwd)
+    dataT_fix, plan_fix = jax.jit(_setup_table)()
 
-    def comp_fwd_bwd(s):
-        def loss_fn(p):
-            jaw = jnp.zeros((1, 3)) + s * 1e-12
-            verts = model.forward(fl._replace(jaw=jaw))
-            frames = face_frames(verts[0], model.faces)
-            wg = world_gaussians(p, aux, frames)
-            proj = project_from_params(wg.means, wg.scales, wg.quats, cam,
-                                       alive=wg.alive)
-            dirs = wg.means - cam.camera_center
-            dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
-            colors = eval_sh_color_kc(wg.sh, dirs, 3)
-            opac = jnp.where(proj.mask, wg.opacity, 0.0)
-            img, alpha = rasterize_binned(
-                proj.mean2d, proj.conic, colors, opac, binned_fix, H, W, bg,
-                TILE, compositor=comp_fix,
-            )
-            return jnp.mean(img)
-        l, g = jax.value_and_grad(loss_fn)(params)
-        return s + l * 0 + g.means[0, 0] * 0
+    from gaussianavatars_tpu.ops.pallas.composite_pairs import (
+        bwd_call_pairs, fwd_call_pairs,
+    )
 
-    timed("geometry + composite fwd+bwd", comp_fwd_bwd)
+    def kern_fwd(s):
+        d = dataT_fix.at[0, 0].add(s * 1e-30)
+        acc, tfin, stop = fwd_call_pairs(
+            d, plan_fix.tile_starts, plan_fix.counts,
+            TILE.tile_h, TILE.tile_w, ntx,
+        )
+        return s + acc[0, 0, 0] * 0 + tfin[0, 0] * 0
+
+    timed("composite fwd kernel (fixed)", kern_fwd)
+
+    _acc, _tfin, _stop = jax.jit(lambda: fwd_call_pairs(
+        dataT_fix, plan_fix.tile_starts, plan_fix.counts,
+        TILE.tile_h, TILE.tile_w, ntx,
+    ))()
+    import numpy as _np
+    _p = TILE.tile_h * TILE.tile_w
+    g_acc_t = jnp.asarray(_np.random.RandomState(0).randn(nt, _p, 3), jnp.float32)
+    g_t = jnp.asarray(_np.random.RandomState(1).randn(nt, _p), jnp.float32)
+
+    def kern_bwd(s):
+        d = dataT_fix.at[0, 0].add(s * 1e-30)
+        dg = bwd_call_pairs(
+            d, plan_fix.tile_starts, plan_fix.counts, _acc, _tfin, _stop,
+            g_acc_t, g_t, TILE.tile_h, TILE.tile_w, ntx,
+        )
+        return s + dg[0, 0] * 0
+
+    timed("composite bwd kernel (fixed)", kern_bwd)
 
     target = jax.jit(lambda: fwd(jnp.zeros(())).color)()
 

@@ -97,12 +97,6 @@ def parse_args(argv=None):
                         "the tile axis")
     p.add_argument("--steps_per_call", type=int, default=50,
                    help="train steps per jitted dispatch (lax.scan chunks)")
-    p.add_argument("--big_slots", type=int, default=0,
-                   help="two-class binning: only the N largest-footprint "
-                        "splats get the full tile budget (0 = off; shrinks "
-                        "the binning pair sort ~3x)")
-    p.add_argument("--small_budget", type=int, default=2,
-                   help="tile budget for splats outside the big class")
     return p.parse_args(argv)
 
 
@@ -117,9 +111,7 @@ def config_from_args(a) -> Config:
             select_camera_id=a.select_camera_id, capacity=a.capacity,
             add_teeth=not a.disable_teeth,
         ),
-        pipeline=PipelineConfig(use_pallas=not a.no_pallas,
-                                big_slots=a.big_slots,
-                                small_budget=a.small_budget),
+        pipeline=PipelineConfig(use_pallas=not a.no_pallas),
         opt=OptimizationConfig(
             iterations=a.iterations,
             densify_from_iter=a.densify_from_iter,

@@ -16,7 +16,7 @@ from gaussianavatars_tpu.ops.rasterize_tiled import (
 )
 from gaussianavatars_tpu.ops.sort_binning import TierSpec, default_tiers, grow_tiers
 
-from test_rasterize_pairs import CFG, H, W, make_scene, screen_inputs
+from raster_fixtures import CFG, H, W, make_scene, screen_inputs
 
 # Budget 16 for every Gaussian (tier count ≥ padded n): identical bbox
 # truncation to the table reference's max_tiles_per_gaussian=16.
@@ -32,7 +32,7 @@ def test_sorted_forward_parity():
     proj, opac, colors, cam = screen_inputs(scene)
     bg = jnp.array([0.1, 0.2, 0.3])
 
-    binned = bin_gaussians(proj, H, W, CFG, pallas_table=False, opacity=opac)
+    binned = bin_gaussians(proj, H, W, CFG, opacity=opac)
     img_ref, alpha_ref = rasterize_binned(
         proj.mean2d, proj.conic, colors, opac, binned, H, W, bg, CFG,
         compositor=composite_tiles,
@@ -47,7 +47,7 @@ def test_sorted_counts_match_binned():
     scene = make_scene(seed=1)
     proj, opac, colors, cam = screen_inputs(scene)
     big = dataclasses.replace(CFG, max_tiles_per_gaussian=16)
-    binned = bin_gaussians(proj, H, W, big, pallas_table=False, opacity=opac)
+    binned = bin_gaussians(proj, H, W, big, opacity=opac)
     _img, _alpha, plan = run_sorted(proj, colors, opac, jnp.zeros(3))
     np.testing.assert_array_equal(
         np.asarray(plan.counts), np.asarray(binned.counts)
@@ -71,7 +71,7 @@ def test_sorted_handles_hot_tiles():
     bg = jnp.zeros(3)
 
     big = dataclasses.replace(CFG, capacity=512)
-    binned = bin_gaussians(proj, H, W, big, pallas_table=False, opacity=opac)
+    binned = bin_gaussians(proj, H, W, big, opacity=opac)
     assert int(binned.overflow) == 0
     img_ref, _ = rasterize_binned(
         proj.mean2d, proj.conic, colors, opac, binned, H, W, bg, big,
@@ -89,7 +89,7 @@ def test_sorted_grad_parity():
     wimg = jax.random.normal(jax.random.PRNGKey(9), (H, W, 3))
     walpha = jax.random.normal(jax.random.PRNGKey(10), (H, W))
 
-    binned = bin_gaussians(proj, H, W, CFG, pallas_table=False, opacity=opac)
+    binned = bin_gaussians(proj, H, W, CFG, opacity=opac)
 
     def loss_ref(m2d, conic, col, op):
         img, alpha = rasterize_binned(

@@ -192,82 +192,12 @@ def test_odd_image_size_padding():
     np.testing.assert_allclose(out_t.color, out_d.color, atol=2e-5)
 
 
-def test_two_class_binning_bit_identical():
-    """Two-class binning (big_slots > 0) produces the identical Binned table
-    whenever every Gaussian with footprint > small_budget fits in the big
-    class — the sorted pair set is the same, so order and counts match."""
-    cam = make_cam()
-    means, scales, quats, opacity, colors = make_scene(150, seed=3)
-    proj = project_from_params(means, scales, quats, cam)
-    one = bin_gaussians(proj, cam.height, cam.width, CFG)
-    two_cfg = TileConfig(tile_h=16, tile_w=16, capacity=512,
-                         max_tiles_per_gaussian=64,
-                         big_slots=150, small_budget=2)
-    two = bin_gaussians(proj, cam.height, cam.width, two_cfg)
-    np.testing.assert_array_equal(np.asarray(one.idx), np.asarray(two.idx))
-    np.testing.assert_array_equal(np.asarray(one.counts), np.asarray(two.counts))
-    assert int(two.budget_overflow) == int(one.budget_overflow) == 0
-
-    # A realistic big-class size (much smaller than N) must still be exact
-    # as long as it covers the #(footprint > small_budget) population.
-    ntiles = None
-    nty, ntx = CFG.grid(cam.height, cam.width)
-    m2d, rad, msk = (np.asarray(proj.mean2d), np.asarray(proj.radius),
-                     np.asarray(proj.mask))
-    x0 = np.clip(np.floor((m2d[:, 0] - rad) / CFG.tile_w).astype(int), 0, ntx)
-    x1 = np.clip(np.floor((m2d[:, 0] + rad) / CFG.tile_w).astype(int) + 1, 0, ntx)
-    y0 = np.clip(np.floor((m2d[:, 1] - rad) / CFG.tile_h).astype(int), 0, nty)
-    y1 = np.clip(np.floor((m2d[:, 1] + rad) / CFG.tile_h).astype(int) + 1, 0, nty)
-    ntiles = np.where(msk, (x1 - x0) * (y1 - y0), 0)
-    n_big = int((ntiles > 2).sum())
-    assert n_big > 0  # the scene must exercise the big class
-    snug = TileConfig(tile_h=16, tile_w=16, capacity=512,
-                      max_tiles_per_gaussian=64,
-                      big_slots=n_big, small_budget=2)
-    three = bin_gaussians(proj, cam.height, cam.width, snug)
-    np.testing.assert_array_equal(np.asarray(one.idx), np.asarray(three.idx))
-    assert int(three.budget_overflow) == 0
-
-
-def test_two_class_binning_undersized_reports_overflow():
-    """When the big class is too small, truncated pairs must be counted in
-    budget_overflow (the loop's growth path keys off this)."""
-    cam = make_cam()
-    means, scales, quats, opacity, colors = make_scene(150, seed=3)
-    proj = project_from_params(means, scales, quats, cam)
-    tiny = TileConfig(tile_h=16, tile_w=16, capacity=512,
-                      max_tiles_per_gaussian=64,
-                      big_slots=1, small_budget=1)
-    binned = bin_gaussians(proj, cam.height, cam.width, tiny)
-    assert int(binned.budget_overflow) > 0
-
-
-def test_two_class_binning_full_render_matches():
-    """End-to-end render through the two-class path matches the dense
-    reference (same tolerance as the one-class path)."""
-    cam = make_cam()
-    means, scales, quats, opacity, colors = make_scene(120, seed=5)
-    bg = jnp.array([0.1, 0.2, 0.3])
-    cfg2 = TileConfig(tile_h=16, tile_w=16, capacity=512,
-                      max_tiles_per_gaussian=64,
-                      big_slots=64, small_budget=2)
-    out_d = render_dense(means, scales, quats, opacity, cam, bg, colors=colors,
-                         tile_cull=(cfg2.tile_h, cfg2.tile_w))
-    out_t = render_tiled(means, scales, quats, opacity, cam, bg, colors=colors,
-                         cfg=cfg2)
-    np.testing.assert_allclose(out_t.color, out_d.color, atol=2e-5)
-
-
-def test_grow_tile_budgets_grows_big_class():
-    """Overflow recovery must also grow the big class in two-class mode —
-    otherwise small-class truncation could never recover."""
+def test_grow_tile_budgets():
     from gaussianavatars_tpu.training.loop import _grow_tile_budgets
 
     one = TileConfig(16, 16, 128, 8)
     g1 = _grow_tile_budgets(one, 0, 5, verbose=False)
-    assert g1.max_tiles_per_gaussian == 16 and g1.big_slots == 0
-
-    two = TileConfig(16, 16, 128, 8, big_slots=1024, small_budget=2)
-    g2 = _grow_tile_budgets(two, 0, 5, verbose=False)
-    assert g2.max_tiles_per_gaussian == 16 and g2.big_slots == 2048
-    assert _grow_tile_budgets(two, 0, 0, verbose=False) is None
+    assert g1.max_tiles_per_gaussian == 16
+    g2 = _grow_tile_budgets(one, 3, 0, verbose=False)
+    assert g2.capacity == 256
+    assert _grow_tile_budgets(one, 0, 0, verbose=False) is None
