@@ -49,6 +49,12 @@ def parse_args(argv=None):
                    help="0 = never (default); the quality profile sets this "
                         "so resets actually fire like the 600k recipe")
     p.add_argument("--densify_grad_threshold", type=float, default=0.0002)
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="also write a resume checkpoint every N iterations "
+                        "(0 = final only); long quality campaigns survive "
+                        "a crash/preemption with --start_checkpoint")
+    p.add_argument("--start_checkpoint", default="",
+                   help="resume a previous run from this TrainState .npz")
     p.add_argument("--json_out", default="",
                    help="write the log trajectory + final eval metrics here")
     p.add_argument("--quality", action="store_true",
@@ -259,11 +265,16 @@ def main(argv=None):
         synthetic_assets(n_shape=a.n_shape, n_expr=a.n_expr, seed=a.seed),
         FlameConfig(n_shape=a.n_shape, n_expr=a.n_expr, add_teeth=True),
     )
-    harness = build_harness(cfg, model=model)
+    harness = build_harness(cfg, model=model,
+                            start_checkpoint=a.start_checkpoint)
+    ckpts = sorted({a.iterations} | (
+        set(range(a.checkpoint_every, a.iterations + 1, a.checkpoint_every))
+        if a.checkpoint_every > 0 else set()
+    ))
     logs = train(
         harness, iterations=a.iterations, log_every=a.log_every,
         eval_every=a.eval_every, save_iterations=[a.iterations],
-        checkpoint_iterations=[a.iterations], seed=a.seed,
+        checkpoint_iterations=ckpts, seed=a.seed,
         steps_per_call=a.steps_per_call,
     )
     print(f"first logged loss {logs[0]['loss']:.4f} → last {logs[-1]['loss']:.4f}; "
