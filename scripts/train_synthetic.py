@@ -156,12 +156,22 @@ def write_dataset(a, model, params, aux):
                 "flame_param_path": f"flame_param/{t}.npz",
                 "w": a.width, "h": a.height,
             })
-    train = [f for f in frames_meta if f["camera_index"] != 0]
-    val = [f for f in frames_meta if f["camera_index"] == 0]
-    for split, fr_list in (("train", train), ("val", val), ("test", val)):
+    # Reference split semantics (dataset_readers: held-out TIMESTEPS are the
+    # test set — self-reenactment with known FLAME params on seen cameras —
+    # while val is a held-out CAMERA, i.e. novel view). A middle timestep is
+    # held out so test interpolates rather than extrapolates the jaw arc.
+    t_test = a.timesteps // 2
+    train = [f for f in frames_meta
+             if f["camera_index"] != 0 and f["timestep_index"] != t_test]
+    val = [f for f in frames_meta
+           if f["camera_index"] == 0 and f["timestep_index"] != t_test]
+    test = [f for f in frames_meta
+            if f["timestep_index"] == t_test and f["camera_index"] != 0]
+    for split, fr_list in (("train", train), ("val", val), ("test", test)):
         with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
             json.dump({"frames": fr_list}, f)
-    print(f"dataset: {len(train)} train / {len(val)} val views at "
+    print(f"dataset: {len(train)} train / {len(val)} val (novel view) / "
+          f"{len(test)} test (novel timestep {t_test}) views at "
           f"{a.width}x{a.height}, {a.timesteps} timesteps")
 
 
@@ -209,6 +219,7 @@ def main(argv=None):
     meta_keys = ("width", "height", "timesteps", "cameras", "seed",
                  "per_face", "n_shape", "n_expr")
     meta = {k: getattr(a, k) for k in meta_keys}
+    meta["split_ver"] = 2   # held-out-timestep test split (regenerates v1)
     meta_path = os.path.join(a.workdir, "dataset_meta.json")
     reuse = False
     if os.path.exists(os.path.join(a.workdir, "transforms_train.json")):
