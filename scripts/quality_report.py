@@ -72,11 +72,22 @@ def main(argv=None):
             f"| {rec['iteration']} | {rec['loss']:.4f} | {rec['psnr']:.2f} "
             f"| {rec['num_points']} | {rec['elapsed_s'] / 60:.1f} |"
         )
-    lines += ["", "## Final held-out evaluation", ""]
+    lines += [
+        "", "## Final held-out evaluation", "",
+        "Split semantics follow the reference (`dataset_readers`): **test**",
+        "holds out a middle TIMESTEP across the training cameras —",
+        "self-reenactment with dataset FLAME params the optimizer never",
+        "touched, the protocol behind the reference's 32.1 dB headline —",
+        "while **val** holds out camera 0 entirely (novel view from ~30°",
+        "outside the training rig's span, a strictly harder task the",
+        "reference does not report).", "",
+    ]
     if "eval_val" in r:
         lines.append(f"- **val (novel view)**: {fmt_eval(r['eval_val'])}")
     if "eval_test" in r:
-        lines.append(f"- **test (self-reenactment)**: {fmt_eval(r['eval_test'])}")
+        lines.append(
+            f"- **test (novel timestep, self-reenactment)**: "
+            f"{fmt_eval(r['eval_test'])}")
     lines += [
         "",
         f"Final splat count **{logs[-1]['num_points']}**, total wall-clock "
