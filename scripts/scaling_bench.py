@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="comma list like 1x1,1x2,2x2,1x8 (data x tile)")
     p.add_argument("--gauss_shard", action="store_true",
                    help="also shard per-Gaussian geometry over the tile axis")
+    p.add_argument("--unsharded", action="store_true",
+                   help="time the plain (non-shard_map) train step on the "
+                        "same scene instead — the mesh-(1,1) denominator")
     return p.parse_args(argv)
 
 
@@ -73,6 +76,35 @@ def main(argv=None):
     cam0 = dataclasses.replace(cam0, width=a.width, height=a.height)
     tile_cfg = TileConfig(32, 32, 512, 8)
     cfg = Config(model=ModelConfig(capacity=a.capacity, n_shape=100, n_expr=50))
+
+    if a.unsharded:
+        # Plain jitted step on one device: the denominator for the
+        # mesh-(1,1) shard_map-overhead ratio (same scene/shapes/loss).
+        from gaussianavatars_tpu.training.trainer import make_train_step
+        from gaussianavatars_tpu.data.cameras import jit_static_key
+
+        state = init_train_state(
+            jax.tree_util.tree_map(jnp.array, params),
+            jax.tree_util.tree_map(jnp.array, aux),
+            cfg, num_timesteps=2, n_expr=50, n_shape=100,
+            num_verts=model.num_verts,
+        )
+        step = make_train_step(model, cfg, tile_cfg)
+        cam = jit_static_key(cam0)
+        gt = jnp.tile(jnp.array([0.4, 0.4, 0.4]),
+                      (cam0.height, cam0.width, 1))
+        bg = jnp.zeros(3)
+        out = step(state, gt, cam, jnp.int32(0), bg, sh_degree=3)
+        jax.block_until_ready(out.metrics["loss"])
+        t0 = time.perf_counter()
+        st = out.state
+        for _ in range(a.iters):
+            out = step(st, gt, cam, jnp.int32(0), bg, sh_degree=3)
+            st = out.state
+        float(out.metrics["loss"])
+        dt = (time.perf_counter() - t0) / a.iters
+        print(f"unsharded step: {dt*1000:7.1f} ms/iter ({1.0/dt:5.2f} iters/s)")
+        return {"unsharded": 1.0 / dt}
 
     if a.meshes:
         shapes = []
