@@ -633,6 +633,7 @@ def _bwd_kernel_pairs_v3(
     tw: int,
     ntx: int,
     amp: bool = False,
+    gc_vpu: bool = False,
 ):
     """Round-5 backward: v2 + double-buffered DMA on both ends.
 
@@ -752,10 +753,20 @@ def _bwd_kernel_pairs_v3(
                 alpha_eff = jnp.where(contrib, alpha, 0.0)
                 ua_eff = jnp.where(alpha < ALPHA_MAX, alpha_eff, 0.0)
                 inv_one = 1.0 / (1.0 - alpha)            # alpha ≤ 0.99
-                gc = jax.lax.dot_general(
-                    sub[:, 5:8], g_rows, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(_SUB, rows, 128)
+                if gc_vpu:
+                    # v4: the k=3 contraction packs <3% of the MXU; the
+                    # broadcast form is ~5 VPU ops over [K, P] and frees
+                    # the MXU for the moment dot.
+                    gc = (
+                        r(sub[:, 5]) * g0[None]
+                        + r(sub[:, 6]) * g1[None]
+                        + r(sub[:, 7]) * g2[None]
+                    )
+                else:
+                    gc = jax.lax.dot_general(
+                        sub[:, 5:8], g_rows, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(_SUB, rows, 128)
 
                 tb = []
                 tt = t
@@ -864,6 +875,14 @@ def _bwd_kernel_pairs_v3(
         sems_out=pltpu.SemaphoreType.DMA((2,)),
         sem_head=pltpu.SemaphoreType.DMA(()),
     )
+
+
+def _bwd_kernel_pairs_v4(*args, **kw):
+    """v3 with the colour-cotangent contraction on the VPU (gc_vpu)."""
+    return _bwd_kernel_pairs_v3(*args, gc_vpu=True, **kw)
+
+
+_fwd_kernel_pairs_v4 = _fwd_kernel_pairs_v3  # forward unchanged in v4
 
 
 # Development A/B switch (module-private, flipped only by perf scripts;
